@@ -1,0 +1,312 @@
+"""Core NHWC neural-net primitives with PyTorch-compatible geometry.
+
+Everything here is a pure function over ``jnp`` arrays in **NHWC** layout
+(TPU-native; the reference uses NCHW throughout). Weight layout is **HWIO**.
+Semantics (padding geometry, transpose-conv output sizes, instance-norm eps,
+leaky slopes) match the torch ops the reference uses, so converted checkpoints
+produce equivalent outputs:
+
+  * ``conv2d``            ↔ ``nn.Conv2d``              (e.g. ``CycleGAN/models.py:12``)
+  * ``conv_transpose2d``  ↔ ``nn.ConvTranspose2d``     (``CycleGAN/models.py:53``)
+  * ``instance_norm``     ↔ ``nn.InstanceNorm2d`` (affine=False, eps=1e-5)
+  * ``reflection_pad2d``  ↔ ``nn.ReflectionPad2d``     (``CycleGAN/models.py:11``)
+  * ``max_pool2d/avg_pool2d`` ↔ ``nn.MaxPool2d``/``nn.AvgPool2d``
+  * ``upsample_bilinear`` ↔ ``nn.Upsample(scale_factor=2, mode='bilinear')``
+                            (align_corners=False default, ``CycleGAN/models.py:580``)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+IntOr2 = Union[int, Tuple[int, int]]
+
+
+def _pair(v: IntOr2) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+_DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    stride: IntOr2 = 1,
+    padding: IntOr2 = 0,
+    dilation: IntOr2 = 1,
+    groups: int = 1,
+    preferred_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """2-D convolution, NHWC activations / HWIO weights, torch ``Conv2d`` geometry."""
+    s, p, d = _pair(stride), _pair(padding), _pair(dilation)
+    out = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=s,
+        padding=[(p[0], p[0]), (p[1], p[1])],
+        rhs_dilation=d,
+        dimension_numbers=_DIMS,
+        feature_group_count=groups,
+        # Output dtype follows the input: bf16 activations stay bf16 (the MXU
+        # still accumulates in fp32 internally) and gradients stay
+        # dtype-consistent under jax.grad. HIGHEST only affects fp32 inputs,
+        # where it buys true fp32 instead of bf16-split passes.
+        preferred_element_type=x.dtype,
+        precision=lax.Precision.HIGHEST if x.dtype == jnp.float32 else None,
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def conv_transpose2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    stride: IntOr2 = 1,
+    padding: IntOr2 = 0,
+    output_padding: IntOr2 = 0,
+    dilation: IntOr2 = 1,
+    preferred_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Transposed conv with torch ``ConvTranspose2d`` output geometry.
+
+    ``w`` is HWIO with I=input channels, O=output channels, spatially
+    *unflipped* (converted from torch's (in,out,kh,kw) by transposition only).
+    Implemented as an input-dilated conv with a spatially flipped kernel —
+    exactly the gradient-of-conv formulation XLA maps onto the MXU.
+
+    Output size per dim: ``(n-1)*s - 2p + d*(k-1) + op + 1``.
+    """
+    s, p, op, d = _pair(stride), _pair(padding), _pair(output_padding), _pair(dilation)
+    kh, kw = w.shape[0], w.shape[1]
+    w_flip = jnp.flip(w, axis=(0, 1))
+    pads = []
+    for k, pi, opi, di in ((kh, p[0], op[0], d[0]), (kw, p[1], op[1], d[1])):
+        lo = di * (k - 1) - pi
+        hi = di * (k - 1) - pi + opi
+        pads.append((lo, hi))
+    out = lax.conv_general_dilated(
+        x,
+        w_flip.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=pads,
+        lhs_dilation=s,
+        rhs_dilation=d,
+        dimension_numbers=_DIMS,
+        preferred_element_type=x.dtype,
+        precision=lax.Precision.HIGHEST if x.dtype == jnp.float32 else None,
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def reflection_pad2d(x: jnp.ndarray, pad: IntOr2) -> jnp.ndarray:
+    p = _pair(pad)
+    return jnp.pad(x, ((0, 0), (p[0], p[0]), (p[1], p[1]), (0, 0)), mode="reflect")
+
+
+def replication_pad2d(x: jnp.ndarray, pad: IntOr2) -> jnp.ndarray:
+    p = _pair(pad)
+    return jnp.pad(x, ((0, 0), (p[0], p[0]), (p[1], p[1]), (0, 0)), mode="edge")
+
+
+def zero_pad2d(x: jnp.ndarray, pad: IntOr2) -> jnp.ndarray:
+    p = _pair(pad)
+    return jnp.pad(x, ((0, 0), (p[0], p[0]), (p[1], p[1]), (0, 0)))
+
+
+def pad2d(x: jnp.ndarray, pad: IntOr2, mode: str = "reflect") -> jnp.ndarray:
+    if mode == "reflect":
+        return reflection_pad2d(x, pad)
+    if mode == "replicate":
+        return replication_pad2d(x, pad)
+    if mode == "zero":
+        return zero_pad2d(x, pad)
+    raise ValueError(f"unknown padding mode {mode!r}")
+
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5,
+                  gamma: Optional[jnp.ndarray] = None,
+                  beta: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Instance normalization over spatial dims (NHWC), torch defaults.
+
+    ``nn.InstanceNorm2d`` default is affine=False, eps=1e-5,
+    track_running_stats=False (used everywhere in the reference generators),
+    i.e. pure per-(image, channel) standardization with no learned params.
+    Statistics are computed in fp32 regardless of activation dtype.
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    out = (xf - mean) * lax.rsqrt(var + eps)
+    if gamma is not None:
+        out = out * gamma.astype(jnp.float32)
+    if beta is not None:
+        out = out + beta.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def batch_norm_inference(x, mean, var, gamma, beta, eps: float = 1e-5):
+    """BatchNorm with given statistics (inference form), NHWC."""
+    xf = x.astype(jnp.float32)
+    out = (xf - mean) * lax.rsqrt(var + eps) * gamma + beta
+    return out.astype(x.dtype)
+
+
+def relu(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.maximum(x, 0)
+
+
+def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, x * negative_slope)
+
+
+def tanh(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.tanh(x)
+
+
+def sigmoid(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.sigmoid(x)
+
+
+def _max_pool_reduce(x: jnp.ndarray, k, s, p) -> jnp.ndarray:
+    return lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        lax.max,
+        window_dimensions=(1, k[0], k[1], 1),
+        window_strides=(1, s[0], s[1], 1),
+        padding=((0, 0), (p[0], p[0]), (p[1], p[1]), (0, 0)),
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _max_pool_2x2(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    """Non-overlapping 2x2/stride-2 max pool with a fast, gather-free VJP.
+
+    XLA's default reduce_window gradient lowers to SelectAndScatter, which is
+    slow on TPU. For the non-overlapping case (VGG pools), the backward pass
+    is an elementwise mask: route the cotangent to the first max element of
+    each window (torch ``MaxPool2d`` tie-breaking), computed with a reshape +
+    cumulative mask — pure VPU work, no scatter.
+    """
+    return _max_pool_reduce(x, (2, 2), (2, 2), (0, 0))
+
+
+def _max_pool_2x2_fwd(x, hw):
+    out = _max_pool_2x2(x, hw)
+    return out, (x, out)
+
+
+def _max_pool_2x2_bwd(hw, res, g):
+    x, out = res
+    n, h, w, c = x.shape
+    h2, w2 = h // 2, w // 2
+    # windows as an explicit dim of 4, in torch's row-major window order
+    xw = x.reshape(n, h2, 2, w2, 2, c).transpose(0, 1, 3, 2, 4, 5).reshape(n, h2, w2, 4, c)
+    is_max = (xw == out[:, :, :, None, :])
+    first = jnp.cumsum(is_max.astype(jnp.int32), axis=3) == 1
+    mask = (is_max & first).astype(g.dtype)
+    gw = mask * g[:, :, :, None, :]
+    gx = gw.reshape(n, h2, w2, 2, 2, c).transpose(0, 1, 3, 2, 4, 5).reshape(n, h, w, c)
+    return (gx,)
+
+
+_max_pool_2x2.defvjp(_max_pool_2x2_fwd, _max_pool_2x2_bwd)
+
+
+def max_pool2d(x: jnp.ndarray, kernel: IntOr2, stride: Optional[IntOr2] = None,
+               padding: IntOr2 = 0) -> jnp.ndarray:
+    k, p = _pair(kernel), _pair(padding)
+    s = _pair(stride) if stride is not None else k
+    if (k == (2, 2) and s == (2, 2) and p == (0, 0)
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+        return _max_pool_2x2(x, (x.shape[1], x.shape[2]))
+    return _max_pool_reduce(x, k, s, p)
+
+
+def avg_pool2d(x: jnp.ndarray, kernel: IntOr2, stride: Optional[IntOr2] = None,
+               padding: IntOr2 = 0, count_include_pad: bool = True) -> jnp.ndarray:
+    """Average pool matching torch ``nn.AvgPool2d`` (count_include_pad=True default)."""
+    k, p = _pair(kernel), _pair(padding)
+    s = _pair(stride) if stride is not None else k
+    summed = lax.reduce_window(
+        x.astype(jnp.float32), 0.0, lax.add,
+        window_dimensions=(1, k[0], k[1], 1),
+        window_strides=(1, s[0], s[1], 1),
+        padding=((0, 0), (p[0], p[0]), (p[1], p[1]), (0, 0)),
+    )
+    if count_include_pad or (p[0] == 0 and p[1] == 0):
+        out = summed / (k[0] * k[1])
+    else:
+        ones = jnp.ones(x.shape[:3] + (1,), jnp.float32)
+        counts = lax.reduce_window(
+            ones, 0.0, lax.add,
+            window_dimensions=(1, k[0], k[1], 1),
+            window_strides=(1, s[0], s[1], 1),
+            padding=((0, 0), (p[0], p[0]), (p[1], p[1]), (0, 0)),
+        )
+        out = summed / counts
+    return out.astype(x.dtype)
+
+
+def global_avg_pool(x: jnp.ndarray, keepdims: bool = False) -> jnp.ndarray:
+    """Global spatial mean — the PatchGAN pooled head (``CycleGAN/models.py:97``)."""
+    return jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=keepdims).astype(x.dtype)
+
+
+def upsample_bilinear(x: jnp.ndarray, scale_factor: int = 2,
+                      align_corners: bool = False) -> jnp.ndarray:
+    """Bilinear 2x upsample matching torch ``nn.Upsample(mode='bilinear')``.
+
+    torch's default align_corners=False is half-pixel-centered resize, which is
+    ``jax.image.resize(method='linear')``'s convention.
+    """
+    n, h, w, c = x.shape
+    new = (n, h * scale_factor, w * scale_factor, c)
+    if align_corners:
+        # align_corners=True: corner-aligned sampling grid.
+        return _resize_align_corners(x, (h * scale_factor, w * scale_factor))
+    return jax.image.resize(x, new, method="linear").astype(x.dtype)
+
+
+def _resize_align_corners(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    n, h, w, c = x.shape
+    oh, ow = size
+    ys = jnp.linspace(0.0, h - 1.0, oh)
+    xs = jnp.linspace(0.0, w - 1.0, ow)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = (ys - y0).astype(jnp.float32)[None, :, None, None]
+    wx = (xs - x0).astype(jnp.float32)[None, None, :, None]
+    xf = x.astype(jnp.float32)
+    top = xf[:, y0][:, :, x0] * (1 - wx) + xf[:, y0][:, :, x1] * wx
+    bot = xf[:, y1][:, :, x0] * (1 - wx) + xf[:, y1][:, :, x1] * wx
+    return (top * (1 - wy) + bot * wy).astype(x.dtype)
+
+
+def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, size[0], size[1], c), method="linear").astype(x.dtype)
+
+
+def resize_bicubic(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, size[0], size[1], c), method="cubic").astype(x.dtype)
+
+
+def dropout(x: jnp.ndarray, rate: float, rng: jax.Array, deterministic: bool) -> jnp.ndarray:
+    if deterministic or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0).astype(x.dtype)
