@@ -1,0 +1,81 @@
+"""Headline benchmark for the driver.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Primary metric: CycleGAN 256² radar→lidar inference throughput on a single
+chip (9-block ResNet generator, the BASELINE.json throughput config). The
+north-star target is ≥10,000 img/s on a v5e-8, i.e. 1,250 img/s/chip;
+``vs_baseline`` is measured-throughput / per-chip-target.
+
+Run: python bench.py  [--batch N] [--iters N] [--size 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--blocks", type=int, default=9)
+    p.add_argument("--features", type=int, default=64)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cistar_tpu.models.cyclegan import ResnetGenerator
+
+    model = ResnetGenerator(output_nc=1, n_residual_blocks=args.blocks,
+                            in_features=args.features)
+    rng = np.random.RandomState(0)
+    x_init = jnp.zeros((1, args.size, args.size, 1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x_init)["params"]
+
+    @jax.jit
+    def infer(params, batch):
+        # fp32 in/out signature so chained calls reuse one executable
+        return model.apply({"params": params},
+                           batch.astype(jnp.bfloat16)).astype(jnp.float32)
+
+    batch = jnp.asarray(rng.rand(args.batch, args.size, args.size, 1)
+                        .astype(np.float32) * 2 - 1)
+    # NOTE on timing: on the axon-tunneled TPU backend, block_until_ready
+    # returns before execution finishes — only a host fetch synchronizes.
+    # We chain calls (output feeds the next input, same dtype signature) and
+    # force one tiny scalar fetch at the end, so the measured window contains
+    # exactly N back-to-back device executions and a single RTT.
+    x = infer(params, batch)
+    float(jnp.sum(x))  # compile + sync
+    for _ in range(args.warmup):
+        x = infer(params, x)
+    float(jnp.sum(x))
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        x = infer(params, x)
+    float(jnp.sum(x))  # forces completion of the whole chain
+    dt = time.perf_counter() - t0
+
+    images_per_sec = args.batch * args.iters / dt
+    per_chip_target = 10000.0 / 8.0  # v5e-8 north star, per chip
+    result = {
+        "metric": f"cyclegan_resnet{args.blocks}_{args.size}sq_infer_throughput",
+        "value": round(images_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / per_chip_target, 3),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""CycleGAN inference CLI — parity with ``CycleGAN/test.py``.
+
+Loads a generator pair, runs the test split, writes recovered-lidar PNGs and
+5-panel comparison strips (fake_lidar | real_radar | real_lidar | fake_radar |
+recover_lidar — ``CycleGAN/test.py:132,147``). Inference is batched and
+AOT-compiled; this is the throughput configuration of the headline benchmark.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batchSize", type=int, default=1)
+    p.add_argument("--dataroot", type=str, required=True)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--input_nc", type=int, default=1)
+    p.add_argument("--output_nc", type=int, default=1)
+    p.add_argument("--gen_type", type=str, default="p2p-content")
+    p.add_argument("--dense_decoder", type=lambda s: s != "False", default=True)
+    p.add_argument("--model_dir", type=str, required=True,
+                   help="dir containing netG_A2B.npz / netG_B2A.npz")
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--platform", default="", choices=["", "cpu", "tpu", "axon"],
+                   help="force a JAX platform (the baked sitecustomize pins the TPU)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms",
+                          "axon" if args.platform == "tpu" else args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from cistar_tpu.core import checkpoint as ckpt
+    from cistar_tpu.data.datasets import CycleGANImageDataset, Loader
+    from cistar_tpu.data.transforms import array_to_pil, denormalize
+    from cistar_tpu.engines.cyclegan import CycleGAN
+    from cistar_tpu.utils.metrics import save_image_grid
+
+    engine = CycleGAN(
+        gen_type=args.gen_type, input_nc=args.input_nc, output_nc=args.output_nc,
+        in_features=16, image_size=args.size, batch_size=args.batchSize,
+        dense_decoder=args.dense_decoder,
+        compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
+    )
+    state = engine.init_state(jax.random.PRNGKey(0), image_size=args.size)
+    state = ckpt.load_cyclegan_state(args.model_dir, state)
+
+    save_dir = os.path.join(args.model_dir, "img_gen_test_rec")
+    os.makedirs(save_dir, exist_ok=True)
+
+    dataset = CycleGANImageDataset(args.dataroot, size=args.size, mode="test")
+    loader = Loader(dataset, args.batchSize)
+    for i, batch in enumerate(loader):
+        a = jnp.asarray(batch["A"])
+        b = jnp.asarray(batch["B"])
+        fake_b, fake_a, rec_b = engine.infer_step(state, a, b)
+        for j in range(a.shape[0]):
+            name = batch["name"][j]
+            arr = np.clip(denormalize(np.asarray(rec_b[j])), 0, 1)
+            array_to_pil(arr).save(os.path.join(save_dir, name))
+            save_image_grid(
+                {"fake_lidar": np.asarray(fake_b[j]), "real_radar": batch["A"][j],
+                 "real_lidar": batch["B"][j], "fake_radar": np.asarray(fake_a[j]),
+                 "recover_lidar": np.asarray(rec_b[j])},
+                os.path.join(save_dir, "panel_" + name))
+        sys.stdout.write(f"\rGenerated images {i + 1:05d} of {len(loader):05d}")
+    sys.stdout.write("\n")
+
+
+if __name__ == "__main__":
+    main()

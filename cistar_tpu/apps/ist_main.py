@@ -1,0 +1,111 @@
+"""Gatys IST batch CLI — parity with ``IST/main.py``.
+
+Sweeps a directory of radar PNGs against one fixed lidar style image, with
+optional polar / inverse-polar warping and an optional coarse-to-fine
+high-resolution second pass. Per-frame timing is printed like the reference
+(``IST/main.py:244-248``), but the optimization itself is one compiled XLA
+program per frame size (compile once, reuse across the sweep).
+
+Usage:
+  python -m cistar_tpu.apps.ist_main --content-dir DIR --style-image F \
+      --save-dir OUT [--config-file cfg.yaml] [--opts KEY VAL ...] \
+      [--polar] [--hr] [--dtype bf16|fp32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="TPU Gatys image style transfer")
+    p.add_argument("--config-file", default="", help="YAML config overrides")
+    p.add_argument("--content-dir", required=True, help="directory of content PNGs")
+    p.add_argument("--style-image", required=True, help="style image path")
+    p.add_argument("--save-dir", required=True)
+    p.add_argument("--vgg-weights", default="", help="vgg_conv .pth/.npz (else random init)")
+    p.add_argument("--polar", action="store_true", help="polar-warp before, inverse after")
+    p.add_argument("--hr", action="store_true", help="coarse-to-fine high-res pass")
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--platform", default="", choices=["", "cpu", "tpu", "axon"],
+                   help="force a JAX platform (the baked sitecustomize pins the TPU)")
+    p.add_argument("--max-iters", type=int, default=0, help="override LOSS.MAX_ITER")
+    p.add_argument("--limit", type=int, default=0, help="process at most N frames")
+    p.add_argument("opts", nargs="*", default=[], help="KEY VALUE config overrides")
+    args = p.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms",
+                          "axon" if args.platform == "tpu" else args.platform)
+
+    import jax.numpy as jnp
+    from cistar_tpu.core.config import get_ist_cfg_defaults
+    from cistar_tpu.data.transforms import load_image, pil_polar_transform
+    from cistar_tpu.engines.ist import GatysEngine
+    from cistar_tpu.models import vgg as vgg_lib
+    from cistar_tpu.utils.metrics import setup_logger
+
+    cfg = get_ist_cfg_defaults()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    cfg.freeze()
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    logger = setup_logger("style-transfer", args.save_dir, "log.txt")
+    logger.info("config:\n%s", cfg.dump())
+
+    if args.vgg_weights:
+        if args.vgg_weights.endswith(".npz"):
+            data = dict(np.load(args.vgg_weights))
+            params = {}
+            for k, v in data.items():
+                layer, kind = k.rsplit(".", 1)
+                params.setdefault(layer, {})["w" if kind == "weight" else "b"] = jnp.asarray(v)
+        else:
+            from cistar_tpu.core.torch_import import load_state_dict
+            params = vgg_lib.torch_vgg_conv_to_params(load_state_dict(args.vgg_weights))
+        logger.info("loaded VGG weights from %s", args.vgg_weights)
+    else:
+        params = vgg_lib.init_vgg_params(seed=0)
+        logger.warning("no --vgg-weights given: using RANDOM VGG init "
+                       "(outputs will not match the pretrained reference)")
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    engine = GatysEngine(cfg, params, compute_dtype=dtype)
+
+    style_img = load_image(args.style_image, "RGB")
+    content_list = sorted(glob.glob(os.path.join(args.content_dir, "*.png")))
+    if args.limit:
+        content_list = content_list[: args.limit]
+    max_iters = args.max_iters or None
+
+    sweep_start = time.time()
+    for i, path in enumerate(content_list):
+        t0 = time.time()
+        content_img = load_image(path, "RGB")
+        style_in = style_img
+        if args.polar:
+            content_img = pil_polar_transform(content_img)
+            style_in = pil_polar_transform(style_img)
+        out = engine.transfer_style(content_img, style_in, max_iters=max_iters)
+        if args.hr:
+            out = engine.hr_transfer_style(content_img, style_in, out)
+        if args.polar:
+            out = pil_polar_transform(out, reverse=True)
+        name = os.path.basename(path)
+        out.save(os.path.join(args.save_dir, name))
+        logger.info("frame %d/%d (%s): %.3f s", i + 1, len(content_list),
+                    name, time.time() - t0)
+    n = max(1, len(content_list))
+    logger.info("avg seconds per frame: %.3f", (time.time() - sweep_start) / n)
+
+
+if __name__ == "__main__":
+    main()

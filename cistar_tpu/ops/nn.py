@@ -46,6 +46,13 @@ def conv2d(
 ) -> jnp.ndarray:
     """2-D convolution, NHWC activations / HWIO weights, torch ``Conv2d`` geometry."""
     s, p, d = _pair(stride), _pair(padding), _pair(dilation)
+    for i, (k_i, s_i, p_i, d_i) in enumerate(zip(w.shape[:2], s, p, d)):
+        eff_k = d_i * (k_i - 1) + 1
+        if x.shape[1 + i] + 2 * p_i < eff_k:
+            raise ValueError(
+                f"conv2d: spatial dim {i} of size {x.shape[1 + i]} (pad {p_i}) is "
+                f"smaller than the effective kernel {eff_k} — output would be "
+                f"zero-sized (input too small for this network)")
     out = lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
