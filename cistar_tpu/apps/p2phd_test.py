@@ -1,0 +1,99 @@
+"""pix2pixHD inference CLI — parity with ``p2pHD/test.py``.
+
+Batch-1 serial inference over the test split, HTML gallery of
+input/synthesized/real triplets (``test.py:82-89``), and the deployment path:
+``--export_onnx PATH`` AOT-compiles and serializes the generator executable
+(the TPU-native replacement for ONNX export), ``--engine PATH`` loads and runs
+a serialized executable with per-run profiling (replacing the TensorRT
+engine driver ``run_engine.py``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+
+def main(argv=None):
+    from cistar_tpu.apps.p2phd_options import TestOptions
+
+    opt = TestOptions().parse(argv, save=False)
+    opt.nThreads = 1
+    opt.batchSize = 1
+    opt.serial_batches = True
+    opt.no_flip = True
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cistar_tpu.core import checkpoint as ckpt
+    from cistar_tpu.data.datasets import Loader, Radar2LidarDataset
+    from cistar_tpu.data.transforms import array_to_pil, denormalize
+    from cistar_tpu.engines.p2phd import Pix2PixHD
+    from cistar_tpu.runtime.aot import load_compiled, save_compiled, profile_fn
+    from cistar_tpu.utils.metrics import HTMLGallery
+
+    size = opt.r2l_res if opt.r2l else opt.fineSize
+    engine = Pix2PixHD(
+        net_g=opt.netG, input_nc=opt.input_nc, output_nc=opt.output_nc,
+        label_nc=opt.label_nc, ngf=opt.ngf,
+        n_downsample_global=opt.n_downsample_global,
+        n_blocks_global=opt.n_blocks_global,
+        n_local_enhancers=opt.n_local_enhancers,
+        n_blocks_local=opt.n_blocks_local, norm=opt.norm,
+        no_instance=opt.no_instance, r2l=opt.r2l, image_size=size,
+        compute_dtype=jnp.bfloat16 if (opt.fp16 or opt.data_type == 16)
+        else jnp.float32,
+    )
+    state = engine.init_state(jax.random.PRNGKey(0), image_size=size)
+    save_dir = os.path.join(opt.checkpoints_dir, opt.name)
+    g_params = ckpt.load_network(save_dir, "G", opt.which_epoch, state.g)
+
+    web_dir = os.path.join(opt.results_dir, opt.name,
+                           f"{opt.phase}_{opt.which_epoch}")
+    gallery = HTMLGallery(web_dir, f"Experiment = {opt.name}, "
+                          f"Phase = {opt.phase}, Epoch = {opt.which_epoch}")
+
+    example = jnp.zeros((1, size, size, opt.input_nc), jnp.float32)
+
+    if opt.export_onnx:
+        save_compiled(lambda label: engine.infer_step(g_params, label),
+                      (example,), opt.export_onnx)
+        print("AOT-serialized generator executable ->", opt.export_onnx)
+        return
+
+    if opt.engine or opt.onnx:
+        path = opt.engine or opt.onnx
+        run = load_compiled(path)
+        stats = profile_fn(lambda x: run(x), example, iters=100)
+        print(f"engine {path}: {stats['mean_ms']:.3f} ms/iter "
+              f"(p50 {stats['p50_ms']:.3f}, p95 {stats['p95_ms']:.3f})")
+        infer = run
+    else:
+        infer = lambda label: engine.infer_step(g_params, label)
+
+    dataset = Radar2LidarDataset(opt.dataroot, size=size, mode="test")
+    loader = Loader(dataset, 1)
+    for i, batch in enumerate(loader):
+        if i >= opt.how_many:
+            break
+        label = jnp.asarray(batch["label"])
+        fake = np.asarray(infer(label))
+        name = os.path.splitext(os.path.basename(batch["path"][0]))[0]
+        ims, txts, links = [], [], []
+        for tag, arr in (("input_label", batch["label"][0]),
+                         ("synthesized_image", fake[0]),
+                         ("real_image", batch["image"][0])):
+            fn = f"{name}_{tag}.png"
+            array_to_pil(np.clip(denormalize(np.asarray(arr)), 0, 1)).save(
+                os.path.join(gallery.img_dir, fn))
+            ims.append(fn), txts.append(tag), links.append(fn)
+        gallery.add_header(f"process image... {name}")
+        gallery.add_images(ims, txts, links, width=opt.display_winsize)
+        print(f"process image... {batch['path'][0]}")
+    gallery.save()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""pix2pixHD training CLI — parity with ``p2pHD/train.py``.
+
+Resume from ``iter.txt``, debug-mode shrink, periodic print/save, 'latest' +
+per-epoch checkpoints, ``update_fixed_params`` schedule and linear LR decay —
+with the whole train step (G, multiscale D, feature matching, optional VGG
+loss, D-loss gate) compiled to one SPMD program, batch sharded over the mesh.
+
+Usage (radar defaults mirror the shipped ``r2l_MSRB*`` configs):
+  python -m cistar_tpu.apps.p2phd_train --name r2l_MSRB --r2l --no_instance \
+      --label_nc 0 --input_nc 1 --output_nc 1 --netG UNet --ngf 64 \
+      --n_blocks_global 3 --num_D 2 --no_vgg_loss --dataroot DIR
+  python -m cistar_tpu.apps.p2phd_train --load_opt path/to/opt.txt --dataroot DIR
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+
+def main(argv=None):
+    from cistar_tpu.apps.p2phd_options import TrainOptions
+
+    opt = TrainOptions().parse(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cistar_tpu.core import checkpoint as ckpt
+    from cistar_tpu.data.datasets import Loader, Radar2LidarDataset
+    from cistar_tpu.engines.p2phd import Pix2PixHD
+    from cistar_tpu.losses.perceptual import make_vgg_loss
+    from cistar_tpu.parallel.sharding import make_mesh, pad_batch_to_multiple, shard_batch
+    from cistar_tpu.utils.metrics import MetricsLogger
+
+    save_dir = os.path.join(opt.checkpoints_dir, opt.name)
+    os.makedirs(save_dir, exist_ok=True)
+
+    start_epoch, epoch_iter = 1, 0
+    if opt.continue_train:
+        start_epoch, epoch_iter = ckpt.load_iter(save_dir)
+        print(f"Resuming from epoch {start_epoch} at iteration {epoch_iter}")
+
+    if opt.debug:
+        opt.display_freq = opt.print_freq = opt.niter = opt.niter_decay = 1
+        opt.max_dataset_size = 10
+
+    size = opt.r2l_res if opt.r2l else opt.fineSize
+    vgg_criterion = None if opt.no_vgg_loss else make_vgg_loss()
+    engine = Pix2PixHD(
+        net_g=opt.netG, input_nc=opt.input_nc, output_nc=opt.output_nc,
+        label_nc=opt.label_nc, ngf=opt.ngf, ndf=opt.ndf,
+        n_downsample_global=opt.n_downsample_global,
+        n_blocks_global=opt.n_blocks_global,
+        n_local_enhancers=opt.n_local_enhancers,
+        n_blocks_local=opt.n_blocks_local,
+        n_layers_d=opt.n_layers_D, num_d=opt.num_D, norm=opt.norm,
+        no_instance=opt.no_instance, r2l=opt.r2l,
+        use_lsgan=not opt.no_lsgan, lambda_feat=opt.lambda_feat,
+        use_ganfeat_loss=not opt.no_ganFeat_loss, vgg_criterion=vgg_criterion,
+        lr=opt.lr, beta1=opt.beta1, niter=opt.niter, niter_decay=opt.niter_decay,
+        niter_fix_global=opt.niter_fix_global, pool_size=opt.pool_size,
+        image_size=size,
+        compute_dtype=jnp.bfloat16 if (opt.fp16 or opt.data_type == 16)
+        else jnp.float32,
+    )
+    state = engine.init_state(jax.random.PRNGKey(0), image_size=size)
+    if opt.continue_train or opt.load_pretrain:
+        pre = opt.load_pretrain or save_dir
+        state = state._replace(
+            g=ckpt.load_network(pre, "G", opt.which_epoch, state.g),
+            d=ckpt.load_network(pre, "D", opt.which_epoch, state.d))
+        print("loaded networks from", pre)
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+
+    dataset = Radar2LidarDataset(opt.dataroot, size=size, mode="train")
+    if opt.max_dataset_size != float("inf"):
+        dataset.radar = dataset.radar[: int(opt.max_dataset_size)]
+        dataset.lidar = dataset.lidar[: int(opt.max_dataset_size)]
+    loader = Loader(dataset, opt.batchSize, shuffle=not opt.serial_batches)
+    logger = MetricsLogger(save_dir, opt.niter + opt.niter_decay, len(loader),
+                           start_epoch=start_epoch, log_every=max(1, opt.print_freq))
+
+    total_iter = (start_epoch - 1) * len(dataset) + epoch_iter
+    for epoch in range(start_epoch, opt.niter + opt.niter_decay + 1):
+        state = state._replace(epoch=jnp.asarray(epoch - 1, jnp.int32))
+        for batch in loader:
+            arrs = {"label": batch["label"], "image": batch["image"]}
+            arrs, _ = pad_batch_to_multiple(arrs, n_dev)
+            dev = shard_batch(arrs, mesh)
+            state, metrics, _fake = engine.train_step(
+                state, dev["label"], None, dev["image"])
+            total_iter += opt.batchSize
+            logger.log({k: v for k, v in metrics.items()},
+                       n_images=arrs["label"].shape[0])
+            if total_iter % opt.save_latest_freq < opt.batchSize:
+                ckpt.save_network(save_dir, "G", "latest", state.g)
+                ckpt.save_network(save_dir, "D", "latest", state.d)
+                ckpt.save_iter(save_dir, epoch, total_iter)
+        logger.end_epoch()
+        ckpt.save_network(save_dir, "G", "latest", state.g)
+        ckpt.save_network(save_dir, "D", "latest", state.d)
+        ckpt.save_iter(save_dir, epoch + 1, 0)
+        if epoch % opt.save_epoch_freq == 0:
+            ckpt.save_network(save_dir, "G", epoch, state.g)
+            ckpt.save_network(save_dir, "D", epoch, state.d)
+            print(f"saved model at end of epoch {epoch}")
+
+
+if __name__ == "__main__":
+    main()

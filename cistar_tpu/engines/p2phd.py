@@ -1,0 +1,265 @@
+"""pix2pixHD training/inference engine — one jitted SPMD step.
+
+Reference semantics (``p2pHD/models/pix2pixHD_model.py:9-313`` +
+``p2pHD/train.py:78-164``):
+
+  * ``encode_input``: one-hot labels when ``label_nc>0`` and not r2l,
+    instance-boundary edge maps appended unless ``no_instance``
+    (:119-150, :273-282).
+  * forward: fake = G(input); D sees (label ‖ image) pairs; losses =
+    D_fake (via pool), D_real, G_GAN, feature matching
+    (4/(n_layers+1) · 1/num_D · L1 per D layer · λ), optional VGG loss · λ
+    (:160-204).
+  * G step always; D step only when ``loss_D = (fake+real)/2 ≥ 0.1``
+    (``train.py:113-119``).
+  * LR: constant for ``niter`` epochs then linear decay over ``niter_decay``
+    (:299-308); ``niter_fix_global`` freezes the global trunk, training only
+    the enhancer streams (:93-108).
+
+All of that — including the data-dependent D gate and the optional pool — is
+compiled into one jitted step; the batch axis shards across the mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cistar_tpu.losses.gan import gan_loss, l1_loss
+from cistar_tpu.models.pix2pixhd import define_d, define_g
+from cistar_tpu.utils.image_pool import PoolState, init_pool, push_and_pop
+
+
+def get_edges(t: jnp.ndarray) -> jnp.ndarray:
+    """Instance-boundary map (``pix2pixHD_model.py:273-282``), NHWC."""
+    e = jnp.zeros_like(t, dtype=jnp.bool_)
+    diff_w = t[:, :, 1:, :] != t[:, :, :-1, :]
+    e = e.at[:, :, 1:, :].set(diff_w)
+    e = e.at[:, :, :-1, :].set(e[:, :, :-1, :] | diff_w)
+    diff_h = t[:, 1:, :, :] != t[:, :-1, :, :]
+    e = e.at[:, 1:, :, :].set(e[:, 1:, :, :] | diff_h)
+    e = e.at[:, :-1, :, :].set(e[:, :-1, :, :] | diff_h)
+    return e.astype(jnp.float32)
+
+
+class P2PState(NamedTuple):
+    g: Any
+    d: Any
+    opt_g: Any
+    opt_d: Any
+    pool: Optional[PoolState]
+    rng: jax.Array
+    epoch: jnp.ndarray
+
+
+class Pix2PixHD:
+    """Builds the G/D pair and exposes jitted train/infer steps."""
+
+    def __init__(
+        self,
+        net_g: str = "global",
+        input_nc: int = 1,
+        output_nc: int = 1,
+        label_nc: int = 0,
+        ngf: int = 64,
+        ndf: int = 64,
+        n_downsample_global: int = 3,
+        n_blocks_global: int = 9,
+        n_local_enhancers: int = 1,
+        n_blocks_local: int = 3,
+        n_layers_d: int = 3,
+        num_d: int = 2,
+        norm: str = "instance",
+        no_instance: bool = True,
+        r2l: bool = True,
+        use_lsgan: bool = True,
+        lambda_feat: float = 10.0,
+        use_ganfeat_loss: bool = True,
+        vgg_criterion: Optional[Callable] = None,  # losses.perceptual.make_vgg_loss
+        lr: float = 1e-4,
+        beta1: float = 0.5,
+        niter: int = 50,
+        niter_decay: int = 50,
+        niter_fix_global: int = 0,
+        pool_size: int = 0,
+        d_loss_floor: float = 0.1,
+        image_size: int = 512,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.G = define_g(net_g, output_nc, ngf, n_downsample_global,
+                          n_blocks_global, n_local_enhancers, n_blocks_local, norm)
+        self.D = define_d(ndf, n_layers_d, norm, use_sigmoid=not use_lsgan,
+                          num_d=num_d, get_interm_feat=use_ganfeat_loss)
+        self.net_g = net_g
+        self.input_nc, self.output_nc, self.label_nc = input_nc, output_nc, label_nc
+        self.no_instance, self.r2l = no_instance, r2l
+        self.use_lsgan = use_lsgan
+        self.lambda_feat = lambda_feat
+        self.use_ganfeat = use_ganfeat_loss
+        self.vgg_criterion = vgg_criterion
+        self.n_layers_d, self.num_d = n_layers_d, num_d
+        self.lr, self.beta1 = lr, beta1
+        self.niter, self.niter_decay = niter, niter_decay
+        self.niter_fix_global = niter_fix_global
+        self.pool_size = pool_size
+        self.d_floor = d_loss_floor
+        self.image_size = image_size
+        self.cdt = compute_dtype
+        self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=lr,
+                                                       b1=beta1, b2=0.999)
+
+    # -- input encoding ------------------------------------------------------
+    def g_input_nc(self) -> int:
+        nc = self.label_nc if (self.label_nc != 0 and not self.r2l) else self.input_nc
+        if not self.no_instance:
+            nc += 1
+        return nc
+
+    def encode_input(self, label, inst=None):
+        """One-hot labels (non-r2l semantic mode) + instance edge maps."""
+        if self.label_nc != 0 and not self.r2l:
+            onehot = jax.nn.one_hot(label[..., 0].astype(jnp.int32), self.label_nc,
+                                    dtype=jnp.float32)
+            input_label = onehot
+        else:
+            input_label = label.astype(jnp.float32)
+        if not self.no_instance and inst is not None:
+            input_label = jnp.concatenate([input_label, get_edges(inst)], axis=-1)
+        return input_label
+
+    # -- state ---------------------------------------------------------------
+    def init_state(self, rng: jax.Array, image_size: Optional[int] = None) -> P2PState:
+        size = image_size or self.image_size
+        r = jax.random.split(rng, 3)
+        xg = jnp.zeros((1, size, size, self.g_input_nc()), jnp.float32)
+        xd = jnp.zeros((1, size, size, self.g_input_nc() + self.output_nc), jnp.float32)
+        g = self.G.init(r[0], xg)["params"]
+        d = self.D.init(r[1], xd)["params"]
+        pool = (init_pool(self.pool_size,
+                          (size, size, self.g_input_nc() + self.output_nc))
+                if self.pool_size > 0 else None)
+        return P2PState(
+            g=g, d=d,
+            opt_g=self.tx.init(g), opt_d=self.tx.init(d),
+            pool=pool, rng=r[2], epoch=jnp.zeros((), jnp.int32),
+        )
+
+    # -- helpers -------------------------------------------------------------
+    def _g_apply(self, params, x):
+        return self.G.apply({"params": params}, x.astype(self.cdt)).astype(jnp.float32)
+
+    def _d_apply(self, params, x):
+        outs = self.D.apply({"params": params}, x.astype(self.cdt))
+        return jax.tree.map(lambda a: a.astype(jnp.float32), outs)
+
+    def lr_at(self, epoch: jnp.ndarray) -> jnp.ndarray:
+        """Constant for ``niter`` epochs, then linear decay to 0 over
+        ``niter_decay`` (``pix2pixHD_model.py:299-308``)."""
+        e = epoch.astype(jnp.float32)
+        decay_steps = jnp.maximum(e - self.niter + 1.0, 0.0)
+        return self.lr * jnp.clip(1.0 - decay_steps / self.niter_decay, 0.0, 1.0)
+
+    def _fix_global_mask(self, grads, epoch):
+        """Zero global-trunk grads while epoch < niter_fix_global (LocalEnhancer
+        finetune schedule — only 'enh*'/'head' params train)."""
+        if self.niter_fix_global <= 0 or self.net_g != "local":
+            return grads
+        fix = (epoch < self.niter_fix_global).astype(jnp.float32)
+
+        def mask_tree(tree, top):
+            keep = top.startswith("enh") or top == "head"
+            scale = 1.0 if keep else (1.0 - fix)
+            return jax.tree.map(lambda g: g * scale, tree)
+
+        return {k: mask_tree(v, k) for k, v in grads.items()}
+
+    # -- the jitted step -----------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: P2PState, label, inst, image):
+        rng, k_pool = jax.random.split(state.rng)
+        input_label = self.encode_input(label, inst)
+        lr_now = self.lr_at(state.epoch)
+
+        feat_w = 4.0 / (self.n_layers_d + 1)
+        d_w = 1.0 / self.num_d
+
+        def g_loss_fn(gp):
+            fake = self._g_apply(gp, input_label)
+            pred_fake = self._d_apply(
+                state.d, jnp.concatenate([input_label, fake], axis=-1))
+            loss_g_gan = gan_loss(pred_fake, True, self.use_lsgan)
+
+            loss_feat = jnp.float32(0)
+            if self.use_ganfeat:
+                pred_real = self._d_apply(
+                    state.d, jnp.concatenate([input_label, image], axis=-1))
+                for i in range(self.num_d):
+                    for j in range(len(pred_fake[i]) - 1):
+                        loss_feat = loss_feat + d_w * feat_w * self.lambda_feat * \
+                            l1_loss(pred_fake[i][j],
+                                    jax.lax.stop_gradient(pred_real[i][j]))
+
+            loss_vgg = jnp.float32(0)
+            if self.vgg_criterion is not None:
+                loss_vgg = self.vgg_criterion(fake, image) * self.lambda_feat
+
+            total = loss_g_gan + loss_feat + loss_vgg
+            return total, {"fake": fake, "G_GAN": loss_g_gan,
+                           "G_GAN_Feat": loss_feat, "G_VGG": loss_vgg}
+
+        (_, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g)
+        g_grads = self._fix_global_mask(g_grads, state.epoch)
+        opt_g_in = state.opt_g
+        opt_g_in.hyperparams["learning_rate"] = lr_now
+        g_updates, opt_g = self.tx.update(g_grads, opt_g_in, state.g)
+        g_params = optax.apply_updates(state.g, g_updates)
+
+        fake = jax.lax.stop_gradient(aux.pop("fake"))
+        fake_concat = jnp.concatenate([input_label, fake], axis=-1)
+        real_concat = jnp.concatenate([input_label, image], axis=-1)
+
+        pool = state.pool
+        if pool is not None:
+            pool, fake_concat = push_and_pop(pool, fake_concat, k_pool)
+
+        def d_loss_fn(dp):
+            pred_fake_pool = self._d_apply(dp, fake_concat)
+            loss_d_fake = gan_loss(pred_fake_pool, False, self.use_lsgan)
+            pred_real = self._d_apply(dp, real_concat)
+            loss_d_real = gan_loss(pred_real, True, self.use_lsgan)
+            return (loss_d_fake + loss_d_real) * 0.5, (loss_d_fake, loss_d_real)
+
+        (loss_d, (loss_d_fake, loss_d_real)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.d)
+        do_d = loss_d >= self.d_floor
+        gate = do_d.astype(jnp.float32)
+        opt_d_in = state.opt_d
+        opt_d_in.hyperparams["learning_rate"] = lr_now
+        d_updates, opt_d_new = self.tx.update(d_grads, opt_d_in, state.d)
+        d_params = optax.apply_updates(
+            state.d, jax.tree.map(lambda u: u * gate, d_updates))
+        opt_d = jax.tree.map(lambda n, o: jnp.where(do_d, n, o), opt_d_new, opt_d_in)
+
+        metrics = {
+            "G_GAN": aux["G_GAN"], "G_GAN_Feat": aux["G_GAN_Feat"],
+            "G_VGG": aux["G_VGG"],
+            "D_real": loss_d_real, "D_fake": loss_d_fake,
+            "loss_D": loss_d, "loss_G": aux["G_GAN"] + aux["G_GAN_Feat"] + aux["G_VGG"],
+        }
+        new_state = P2PState(g=g_params, d=d_params, opt_g=opt_g, opt_d=opt_d,
+                             pool=pool, rng=rng, epoch=state.epoch)
+        return new_state, metrics, fake
+
+    def next_epoch(self, state: P2PState) -> P2PState:
+        return state._replace(epoch=state.epoch + 1)
+
+    # -- inference -----------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=0)
+    def infer_step(self, g_params, label, inst=None):
+        """Parity with ``Pix2PixHDModel.inference`` (no-feature path)."""
+        input_label = self.encode_input(label, inst)
+        return self._g_apply(g_params, input_label)

@@ -1,0 +1,85 @@
+"""AOT compilation, serialization, and profiling — the deployment runtime.
+
+Fills the role of the reference's ONNX export + TensorRT engine driver
+(``p2pHD/test.py:68-78``, ``p2pHD/run_engine.py:33-173``) the TPU-native way:
+
+  * :func:`save_compiled` — ``jax.export`` a jitted function to a serialized
+    StableHLO executable artifact on disk (the ".engine" file).
+  * :func:`load_compiled` — deserialize and return a callable.
+  * :func:`profile_fn` — steady-state latency stats with axon-safe
+    synchronization (host fetch, not ``block_until_ready`` — see bench.py).
+  * :func:`cost_analysis` — XLA's per-executable FLOP/bytes estimates, the
+    analogue of the TRT per-layer profiler table.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def aot_compile(fn: Callable, example_args: Sequence[Any]):
+    """Lower + compile ``fn`` for the given example shapes."""
+    return jax.jit(fn).lower(*example_args).compile()
+
+
+def save_compiled(fn: Callable, example_args: Sequence[Any], path: str) -> None:
+    """Serialize a jitted function (StableHLO + calling convention) to disk."""
+    exported = jax.export.export(jax.jit(fn))(*example_args)
+    data = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def load_compiled(path: str) -> Callable:
+    """Load a serialized executable; returns a callable running via jit."""
+    with open(path, "rb") as f:
+        data = f.read()
+    exported = jax.export.deserialize(bytearray(data))
+    return jax.jit(exported.call)
+
+
+def _sync(x) -> float:
+    """Force execution with a tiny host fetch (axon-safe sync)."""
+    leaf = jax.tree.leaves(x)[0]
+    return float(jnp.sum(leaf))
+
+
+def profile_fn(fn: Callable, *example_args, iters: int = 100,
+               warmup: int = 5) -> Dict[str, float]:
+    """Steady-state latency: chained same-signature calls, one fetch per
+    timed sample (per-iter RTT amortized over ``inner`` executions)."""
+    out = fn(*example_args)
+    _sync(out)
+    for _ in range(warmup):
+        out = fn(*example_args)
+    _sync(out)
+
+    times = []
+    inner = 10
+    for _ in range(max(1, iters // inner)):
+        t0 = time.perf_counter()
+        for _ in range(inner):
+            out = fn(*example_args)
+        _sync(out)
+        times.append((time.perf_counter() - t0) / inner)
+    arr = np.asarray(times) * 1000.0
+    return {
+        "mean_ms": float(arr.mean()),
+        "p50_ms": float(np.percentile(arr, 50)),
+        "p95_ms": float(np.percentile(arr, 95)),
+        "best_ms": float(arr.min()),
+    }
+
+
+def cost_analysis(fn: Callable, *example_args) -> Dict[str, float]:
+    """XLA cost model for the compiled executable (flops, bytes accessed…)."""
+    compiled = aot_compile(fn, example_args)
+    costs = compiled.cost_analysis()
+    if isinstance(costs, list):  # one entry per computation
+        costs = costs[0] if costs else {}
+    return dict(costs or {})
