@@ -1,0 +1,98 @@
+"""Spatial sharding (halo exchange) correctness vs unsharded ops, 8-dev mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cistar_tpu.ops import nn as tnn
+from cistar_tpu.parallel import spatial as sp
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.asarray(jax.devices()[:4]), ("spatial",))
+
+
+def _run(mesh, fn, *arrays):
+    specs = tuple(P(None, "spatial", None, None) for _ in arrays)
+    f = shard_map(fn, mesh=mesh, in_specs=specs,
+                  out_specs=P(None, "spatial", None, None), check_rep=False)
+    return f(*arrays)
+
+
+def test_spatial_conv_stride1_reflect(rng, mesh):
+    x = jnp.asarray(rng.randn(1, 32, 16, 4).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 4, 8).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+    ref = tnn.conv2d(tnn.reflection_pad2d(x, 1), w, b)
+    out = _run(mesh, lambda s: sp.spatial_conv2d(s, w, b, 1, 1, "reflect"), x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_spatial_conv_stride1_7x7(rng, mesh):
+    x = jnp.asarray(rng.randn(1, 32, 16, 2).astype(np.float32))
+    w = jnp.asarray(rng.randn(7, 7, 2, 4).astype(np.float32) * 0.1)
+    ref = tnn.conv2d(tnn.reflection_pad2d(x, 3), w)
+    out = _run(mesh, lambda s: sp.spatial_conv2d(s, w, None, 1, 3, "reflect"), x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_spatial_conv_stride2(rng, mesh):
+    x = jnp.asarray(rng.randn(1, 32, 16, 4).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 4, 8).astype(np.float32) * 0.1)
+    ref = tnn.conv2d(x, w, stride=2, padding=1)
+    out = _run(mesh, lambda s: sp.spatial_conv2d(s, w, None, 2, 1, "zero"), x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_spatial_conv_transpose(rng, mesh):
+    x = jnp.asarray(rng.randn(1, 16, 8, 6).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 6, 4).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(4).astype(np.float32))
+    ref = tnn.conv_transpose2d(x, w, b, stride=2, padding=1, output_padding=1)
+    out = _run(mesh, lambda s: sp.spatial_conv_transpose2d(s, w, b), x)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_spatial_instance_norm(rng, mesh):
+    x = jnp.asarray((rng.randn(2, 32, 8, 4) * 3 + 1).astype(np.float32))
+    ref = tnn.instance_norm(x)
+    out = _run(mesh, lambda s: sp.spatial_instance_norm(s), x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_spatial_mini_generator_stack(rng, mesh):
+    """Composite: stem → down → IN/ReLU → res-ish conv → up → out conv."""
+    x = jnp.asarray(rng.randn(1, 32, 16, 1).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(7, 7, 1, 8).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32) * 0.1)
+    w3 = jnp.asarray(rng.randn(3, 3, 16, 16).astype(np.float32) * 0.1)
+    w4 = jnp.asarray(rng.randn(3, 3, 16, 8).astype(np.float32) * 0.1)
+    w5 = jnp.asarray(rng.randn(7, 7, 8, 1).astype(np.float32) * 0.1)
+
+    def reference(x):
+        h = tnn.relu(tnn.instance_norm(tnn.conv2d(tnn.reflection_pad2d(x, 3), w1)))
+        h = tnn.relu(tnn.instance_norm(tnn.conv2d(h, w2, stride=2, padding=1)))
+        h = h + tnn.instance_norm(tnn.conv2d(tnn.reflection_pad2d(h, 1), w3))
+        h = tnn.relu(tnn.instance_norm(
+            tnn.conv_transpose2d(h, w4, stride=2, padding=1, output_padding=1)))
+        return tnn.tanh(tnn.conv2d(tnn.reflection_pad2d(h, 3), w5))
+
+    def sharded(s):
+        h = sp.spatial_conv2d(s, w1, None, 1, 3, "reflect")
+        h = tnn.relu(sp.spatial_instance_norm(h))
+        h = sp.spatial_conv2d(h, w2, None, 2, 1, "zero")
+        h = tnn.relu(sp.spatial_instance_norm(h))
+        h = h + sp.spatial_instance_norm(sp.spatial_conv2d(h, w3, None, 1, 1, "reflect"))
+        h = sp.spatial_conv_transpose2d(h, w4)
+        h = tnn.relu(sp.spatial_instance_norm(h))
+        return tnn.tanh(sp.spatial_conv2d(h, w5, None, 1, 3, "reflect"))
+
+    ref = reference(x)
+    out = _run(mesh, sharded, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
