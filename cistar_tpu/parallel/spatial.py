@@ -195,8 +195,8 @@ def sharded_apply(fn: Callable, x: jnp.ndarray, mesh: Mesh,
     out_spec = P(None, axis_name, None, None)
     if params is not None:
         f = shard_map(lambda p, s: fn(p, s), mesh=mesh, in_specs=in_specs,
-                      out_specs=out_spec, check_rep=False)
+                      out_specs=out_spec, check_vma=False)
         return f(params, x)
     f = shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
-                  check_rep=False)
+                  check_vma=False)
     return f(x)

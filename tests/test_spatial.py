@@ -20,7 +20,7 @@ def mesh():
 def _run(mesh, fn, *arrays):
     specs = tuple(P(None, "spatial", None, None) for _ in arrays)
     f = shard_map(fn, mesh=mesh, in_specs=specs,
-                  out_specs=P(None, "spatial", None, None), check_rep=False)
+                  out_specs=P(None, "spatial", None, None), check_vma=False)
     return f(*arrays)
 
 
