@@ -1,0 +1,150 @@
+"""Benchmark suite over the five BASELINE.json configs.
+
+Each config prints one JSON line; ``python benchmarks/run_suite.py --configs all``
+runs everything (slow: several axon compiles). The driver-facing headline
+stays in ``bench.py``.
+
+Configs (BASELINE.md):
+  gatys256    — Gatys IST, single pair, 256², 300 L-BFGS iters
+  gatys_hr    — coarse-to-fine 512 → 1024² (300 + 500 iters)
+  cyclegan256 — CycleGAN 256² unpaired TRAINING step (9-block ResNet G +
+                70×70 PatchGAN, batch 4 like the reference)
+  p2phd512    — pix2pixHD global 512² paired training step w/ VGG feature
+                matching
+  p2phd1024   — pix2pixHD global+local 1024², 3-scale discriminators
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def _sync(x):
+    import jax
+    import jax.numpy as jnp
+
+    return float(jnp.sum(jax.tree.leaves(x)[0]))
+
+
+def bench_gatys(size: int, iters: int, hr: bool = False):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cistar_tpu.core.config import get_ist_cfg_defaults
+    from cistar_tpu.engines.ist import GatysEngine
+    from cistar_tpu.models import vgg as vgg_lib
+
+    cfg = get_ist_cfg_defaults()
+    cfg.DATA.IMG_SIZE = size
+    rng = np.random.RandomState(0)
+    eng = GatysEngine(cfg, vgg_lib.init_vgg_params(seed=0),
+                      compute_dtype=jnp.bfloat16)
+    content = jnp.asarray(rng.rand(1, size, size, 3).astype(np.float32) * 255 - 120)
+    style = jnp.asarray(rng.rand(1, size, size, 3).astype(np.float32) * 255 - 120)
+    out, _, _ = eng.optimize(content, style, max_iters=iters)  # compile
+    _sync(out)
+    t0 = time.perf_counter()
+    out, _, _ = eng.optimize(content, style, max_iters=iters)
+    _sync(out)
+    dt = time.perf_counter() - t0
+    if hr:
+        hr_size = size * 2
+        up = jnp.asarray(np.repeat(np.repeat(np.asarray(out), 2, 1), 2, 2))
+        hr_out, _, _ = eng.optimize(
+            jnp.asarray(rng.rand(1, hr_size, hr_size, 3).astype(np.float32) * 255 - 120),
+            jnp.asarray(rng.rand(1, hr_size, hr_size, 3).astype(np.float32) * 255 - 120),
+            init_image=up, max_iters=500)
+        _sync(hr_out)
+        t0 = time.perf_counter()
+        hr_out, _, _ = eng.optimize(
+            jnp.asarray(rng.rand(1, hr_size, hr_size, 3).astype(np.float32) * 255 - 120),
+            jnp.asarray(rng.rand(1, hr_size, hr_size, 3).astype(np.float32) * 255 - 120),
+            init_image=up, max_iters=500)
+        _sync(hr_out)
+        dt += time.perf_counter() - t0
+        return {"metric": f"gatys_{size}to{hr_size}_coarse2fine_seconds",
+                "value": round(dt, 3), "unit": "s",
+                "vs_baseline": round(5.0 / max(dt, 1e-9), 3)}
+    return {"metric": f"gatys_{size}sq_{iters}iter_seconds", "value": round(dt, 3),
+            "unit": "s", "vs_baseline": round(5.0 / max(dt, 1e-9), 3)}
+
+
+def bench_cyclegan_train(size: int = 256, batch: int = 4, iters: int = 10):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cistar_tpu.engines.cyclegan import CycleGAN
+
+    eng = CycleGAN(gen_type="p2p", in_features=64, n_residual_blocks=9,
+                   image_size=size, batch_size=batch, min_points=1.0)
+    state = eng.init_state(jax.random.PRNGKey(0), image_size=size)
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(np.sign(rng.randn(batch, size, size, 1)).astype(np.float32))
+    b = jnp.asarray(np.sign(rng.randn(batch, size, size, 1)).astype(np.float32))
+    state, m = eng.train_step(state, a, b)
+    _sync(m)
+    state, m = eng.train_step(state, a, b)
+    _sync(m)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = eng.train_step(state, a, b)
+    _sync(m)
+    dt = (time.perf_counter() - t0) / iters
+    return {"metric": f"cyclegan_{size}sq_train_step_images_per_sec",
+            "value": round(batch / dt, 1), "unit": "images/sec/chip",
+            "vs_baseline": 0.0}
+
+
+def bench_p2phd_train(size: int, net_g: str, num_d: int, iters: int = 5):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cistar_tpu.engines.p2phd import Pix2PixHD
+    from cistar_tpu.losses.perceptual import make_vgg_loss
+
+    eng = Pix2PixHD(net_g=net_g, ngf=64 if net_g == "global" else 32,
+                    num_d=num_d, image_size=size,
+                    vgg_criterion=make_vgg_loss() if net_g == "global" else None)
+    state = eng.init_state(jax.random.PRNGKey(0), image_size=size)
+    rng = np.random.RandomState(0)
+    label = jnp.asarray(rng.rand(1, size, size, 1).astype(np.float32) * 2 - 1)
+    image = jnp.asarray(rng.rand(1, size, size, 1).astype(np.float32) * 2 - 1)
+    state, m, _ = eng.train_step(state, label, None, image)
+    _sync(m)
+    state, m, _ = eng.train_step(state, label, None, image)
+    _sync(m)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m, _ = eng.train_step(state, label, None, image)
+    _sync(m)
+    dt = (time.perf_counter() - t0) / iters
+    return {"metric": f"p2phd_{net_g}_{size}sq_train_step_seconds",
+            "value": round(dt, 4), "unit": "s/step", "vs_baseline": 0.0}
+
+
+CONFIGS = {
+    "gatys256": lambda: bench_gatys(256, 300),
+    "gatys_hr": lambda: bench_gatys(512, 300, hr=True),
+    "cyclegan256": lambda: bench_cyclegan_train(256, 4),
+    "p2phd512": lambda: bench_p2phd_train(512, "global", 2),
+    "p2phd1024": lambda: bench_p2phd_train(1024, "local", 3),
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--configs", default="gatys256",
+                   help="comma list or 'all': " + ",".join(CONFIGS))
+    args = p.parse_args(argv)
+    names = list(CONFIGS) if args.configs == "all" else args.configs.split(",")
+    for name in names:
+        result = CONFIGS[name]()
+        print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -129,6 +129,64 @@ class GatysEngine:
                                      max_iters=max_iters)
         return hr_transform.post_preparation(np.asarray(out))
 
+    # -- optimize_new variants (parity with engine/utils.py:47-102) ----------
+    def optimize_single_target(self, content: jnp.ndarray, style: jnp.ndarray,
+                               content_only: bool = False, style_only: bool = False,
+                               opt: str = "LBFGS",
+                               init_image: Optional[jnp.ndarray] = None,
+                               adam_lr: float = 1e-3):
+        """``optimize_new``: content-only / style-only objectives.
+
+        Faithful to the exercised reference semantics including its quirks:
+        the single-target loss is NEGATED (``utils.py:92``) and the loop
+        ``break``s after ONE ``optimizer.step`` (``utils.py:101``) — i.e. up
+        to 20 L-BFGS closure evals (torch ``max_iter`` default) or exactly one
+        Adam step. Both objectives set requires parity flags rather than being
+        "fixed"; callers wanting a true minimization should use
+        :meth:`optimize`.
+        """
+        assert content_only ^ style_only, "choose exactly one single-target mode"
+        cdt = self.compute_dtype
+        if init_image is None:
+            init_image = content
+        if content_only:
+            layers = tuple(self.content_layers)
+            weights = tuple(self.content_weights)
+            targets = [jax.lax.stop_gradient(f.astype(jnp.float32))
+                       for f in vgg_lib.extract_features(
+                           self.vgg_params, jnp.asarray(content), layers,
+                           compute_dtype=cdt)]
+
+            def term(out, tgt):
+                return jnp.mean(jnp.square(out.astype(jnp.float32) - tgt))
+        else:
+            layers = tuple(self.style_layers)
+            weights = tuple(self.style_weights)
+            targets = [jax.lax.stop_gradient(gram_matrix(f))
+                       for f in vgg_lib.extract_features(
+                           self.vgg_params, jnp.asarray(style), layers,
+                           compute_dtype=cdt)]
+            term = gram_mse_loss
+
+        def loss_fn(img):
+            outs = vgg_lib.extract_features(self.vgg_params, img, layers,
+                                            compute_dtype=cdt)
+            total = jnp.float32(0)
+            for w, o, t in zip(weights, outs, targets):
+                total = total + w * term(o, t)
+            return -total  # reference negates (utils.py:92)
+
+        if opt == "LBFGS":
+            x, loss, losses = jax.jit(
+                lambda x0: lbfgs_minimize(loss_fn, x0, max_iters=20,
+                                          history_size=self.history_size)
+            )(jnp.asarray(init_image, jnp.float32))
+            return x, loss
+        # single Adam step (torch defaults lr=1e-3)
+        g = jax.jit(jax.grad(loss_fn))(jnp.asarray(init_image, jnp.float32))
+        x = init_image - adam_lr * jnp.sign(g)  # first Adam step == lr·sign(g)
+        return x, loss_fn(jnp.asarray(x))
+
     # -- saliency (parity with engine/utils.py:104-161) ----------------------
     def saliency(self, image: jnp.ndarray, layers: Sequence[str],
                  weights: Sequence[float]) -> jnp.ndarray:

@@ -1,0 +1,143 @@
+"""LPIPS metric, config system, aligned dataset, UI editing ops, checkpoints."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cistar_tpu.core.config import ConfigNode, get_ist_cfg_defaults, parse_opt_txt
+from cistar_tpu.utils.lpips import lpips_distance
+
+
+def test_lpips_zero_for_identical(rng):
+    a = jnp.asarray(rng.rand(2, 32, 32, 1).astype(np.float32))
+    d = lpips_distance(a, a)
+    np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-6)
+
+
+def test_lpips_monotonic_in_noise(rng):
+    a = jnp.asarray(rng.rand(1, 64, 64, 1).astype(np.float32))
+    d_small = float(lpips_distance(a, a + 0.01)[0])
+    d_large = float(lpips_distance(a, a + 0.2)[0])
+    assert 0 < d_small < d_large
+
+
+def test_config_clone_freeze_merge():
+    cfg = get_ist_cfg_defaults()
+    c2 = cfg.clone()
+    c2.LOSS.MAX_ITER = 10
+    assert cfg.LOSS.MAX_ITER == 300
+    cfg.freeze()
+    with pytest.raises(AttributeError):
+        cfg.LOSS.MAX_ITER = 5
+    c3 = cfg.clone().defrost()
+    c3.merge_from_list(["LOSS.MAX_ITER", "42", "DATA.IMG_SIZE", "128"])
+    assert c3.LOSS.MAX_ITER == 42 and c3.DATA.IMG_SIZE == 128
+
+
+def test_parse_legacy_opt_txt():
+    """The four shipped opt.txt snapshots must remain parseable (SURVEY §5)."""
+    path = "/root/reference/p2pHD/checkpoints/r2l_MSRB_7/opt.txt"
+    if not os.path.exists(path):
+        pytest.skip("reference not mounted")
+    opt = parse_opt_txt(path)
+    assert opt["netG"] == "UNet"
+    assert opt["n_blocks_global"] == 3
+    assert opt["r2l"] is True
+    assert opt["lr"] == 0.0001
+    assert opt["num_D"] == 2
+    assert opt["no_vgg_loss"] is True
+    assert opt["gpu_ids"] == [0]
+
+
+def test_aligned_dataset_shared_params(tmp_path, rng):
+    from PIL import Image
+
+    from cistar_tpu.data.aligned import AlignedDataset
+
+    # build train_A / train_B dirs
+    for d in ("train_A", "train_B"):
+        os.makedirs(tmp_path / d)
+        for i in range(3):
+            arr = (rng.rand(40, 40) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(tmp_path / d / f"{i}.png")
+
+    class Opt:
+        dataroot = str(tmp_path)
+        phase = "train"
+        label_nc = 0
+        no_instance = True
+        load_features = False
+        isTrain = True
+        use_encoded_image = False
+        resize_or_crop = "resize_and_crop"
+        loadSize = 32
+        fineSize = 16
+        batchSize = 1
+        no_flip = False
+        n_downsample_global = 2
+
+    ds = AlignedDataset(Opt())
+    item = ds[0]
+    assert item["label"].shape == (16, 16, 3)
+    assert item["image"].shape == (16, 16, 3)
+    assert item["label"].min() >= -1.0 and item["label"].max() <= 1.0
+
+
+def test_ui_edit_ops():
+    from cistar_tpu.engines.ui import add_strokes, change_label, set_object_style
+
+    label = np.zeros((8, 8), np.int32)
+    inst = np.zeros((8, 8), np.int32)
+    inst[2:5, 2:5] = 7
+    label[2:5, 2:5] = 3
+    l2, i2 = change_label(label, inst, (3, 3), new_label=5)
+    assert l2[3, 3] == 5 and i2[3, 3] == 5 and l2[0, 0] == 0
+
+    l3, i3 = add_strokes(label, inst, [0], [0], brush=3, paint_label=9)
+    assert l3[0, 0] == 9 and l3[1, 1] == 9
+
+    feat = np.zeros((8, 8, 3), np.float32)
+    centers = np.asarray([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]], np.float32)
+    f2 = set_object_style(feat, inst, 7, centers, 1)
+    np.testing.assert_allclose(f2[3, 3], [4.0, 5.0, 6.0])
+    np.testing.assert_allclose(f2[0, 0], 0.0)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from cistar_tpu.core.checkpoint import load_pytree, load_pytree_like, save_pytree
+
+    tree = {"a": {"w": np.ones((2, 3), np.float32), "b": np.zeros(3)},
+            "c": np.arange(4, dtype=np.int32)}
+    path = str(tmp_path / "t.npz")
+    save_pytree(path, tree)
+    back = load_pytree(path)
+    np.testing.assert_allclose(back["a"]["w"], tree["a"]["w"])
+    np.testing.assert_allclose(back["c"], tree["c"])
+    like = {"a": {"w": jnp.zeros((2, 3)), "b": jnp.ones(3)},
+            "c": jnp.zeros(4, jnp.int32)}
+    cast = load_pytree_like(path, like)
+    assert cast["a"]["w"].dtype == jnp.zeros(1).dtype
+
+
+def test_ist_single_target_variants(rng):
+    from cistar_tpu.engines.ist import GatysEngine
+    from cistar_tpu.models import vgg as vgg_lib
+
+    cfg = get_ist_cfg_defaults()
+    cfg.DATA.IMG_SIZE = 32
+    eng = GatysEngine(cfg, vgg_lib.init_vgg_params(seed=0),
+                      compute_dtype=jnp.float32, history_size=5)
+    content = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32) * 255 - 120)
+    style = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32) * 255 - 120)
+    x, loss = eng.optimize_single_target(content, style, content_only=True)
+    assert x.shape == content.shape and np.isfinite(float(loss))
+    x2, loss2 = eng.optimize_single_target(content, style, style_only=True,
+                                           opt="Adam")
+    assert x2.shape == content.shape
+
+    sal = eng.saliency(content, ("relu1_1",), (1.0,))
+    assert sal.shape == content.shape
