@@ -46,6 +46,9 @@ def main(argv=None):
         opt.display_freq = opt.print_freq = opt.niter = opt.niter_decay = 1
         opt.max_dataset_size = 10
 
+    if opt.uda:
+        return _train_uda(opt, save_dir, start_epoch)
+
     size = opt.r2l_res if opt.r2l else opt.fineSize
     vgg_criterion = None if opt.no_vgg_loss else make_vgg_loss()
     engine = Pix2PixHD(
@@ -108,6 +111,57 @@ def main(argv=None):
             ckpt.save_network(save_dir, "G", epoch, state.g)
             ckpt.save_network(save_dir, "D", epoch, state.d)
             print(f"saved model at end of epoch {epoch}")
+
+
+def _train_uda(opt, save_dir, start_epoch):
+    """UDA training loop (parity: ``p2pHD/train.py`` with ``--uda``):
+    dispatches by ``--training_module`` to the R2LAE shared-encoder trainer or
+    the standalone Wasserstein image critic."""
+    import jax
+    import jax.numpy as jnp
+
+    from cistar_tpu.core import checkpoint as ckpt
+    from cistar_tpu.data.datasets import Loader, UDADataset
+    from cistar_tpu.engines.factory import create_uda_model
+    from cistar_tpu.parallel.sharding import make_mesh, pad_batch_to_multiple, shard_batch
+    from cistar_tpu.utils.metrics import MetricsLogger
+
+    engine = create_uda_model(opt)
+    state = engine.init_state(jax.random.PRNGKey(0), opt.r2l_res) \
+        if opt.training_module == "discriminator" else \
+        engine.init_state(jax.random.PRNGKey(0), size=opt.r2l_res)
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    dataset = UDADataset(opt.dataroot, size=opt.r2l_res, mode="train")
+    loader = Loader(dataset, opt.batchSize, shuffle=not opt.serial_batches)
+    logger = MetricsLogger(save_dir, opt.niter + opt.niter_decay, len(loader),
+                           start_epoch=start_epoch,
+                           log_every=max(1, opt.print_freq))
+
+    for epoch in range(start_epoch, opt.niter + opt.niter_decay + 1):
+        for batch in loader:
+            arrs = {"radar": batch["radar"], "lidar": batch["lidar"]}
+            arrs, _ = pad_batch_to_multiple(arrs, n_dev)
+            dev = shard_batch(arrs, mesh)
+            if opt.training_module == "discriminator":
+                state, metrics = engine.train_step(state, dev["lidar"], dev["radar"])
+            else:
+                state, metrics, _fakes = engine.train_step(
+                    state, dev["radar"], dev["lidar"])
+            logger.log({k: v for k, v in metrics.items()},
+                       n_images=arrs["radar"].shape[0])
+        logger.end_epoch()
+        if opt.training_module == "discriminator":
+            ckpt.save_network(save_dir, "img_D", "latest", state.d)
+        else:
+            for label, field in (("E", "e"), ("DF", "df"), ("DR", "dr"),
+                                 ("DL", "dl"), ("GL", "g_lidar"),
+                                 ("GR", "g_radar")):
+                ckpt.save_network(save_dir, label, "latest",
+                                  getattr(state, field))
+        if epoch % opt.save_epoch_freq == 0:
+            print(f"saved UDA model at end of epoch {epoch}")
 
 
 if __name__ == "__main__":

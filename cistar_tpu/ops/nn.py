@@ -317,3 +317,16 @@ def dropout(x: jnp.ndarray, rate: float, rng: jax.Array, deterministic: bool) ->
         return x
     keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
     return jnp.where(keep, x / (1.0 - rate), 0).astype(x.dtype)
+
+
+def instance_norm_act(x: jnp.ndarray, act: str = "none",
+                      residual: Optional[jnp.ndarray] = None,
+                      eps: float = 1e-5,
+                      negative_slope: float = 0.2) -> jnp.ndarray:
+    """Instance norm + activation (+ residual), using the fused Pallas kernel
+    on TPU when the per-image block fits VMEM (see ops.pallas_kernels)."""
+    from cistar_tpu.ops.pallas_kernels import fused_instance_norm_act
+
+    return fused_instance_norm_act(x, act=act, eps=eps,
+                                   negative_slope=negative_slope,
+                                   residual=residual)
