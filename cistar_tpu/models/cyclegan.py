@@ -28,6 +28,7 @@ from cistar_tpu.ops.blocks import (
     ConvTranspose2d,
     MultiAtrousConv,
     MultiAtrousTransposeConv,
+    ReflectConv2d,
     ResidualBlock,
     ResidualBlockAtrous,
 )
@@ -43,8 +44,7 @@ class ResnetGenerator(nn.Module):
     @nn.compact
     def __call__(self, x):
         f = self.in_features
-        h = tnn.reflection_pad2d(x, 3)
-        h = Conv2d(f, 7, name="init_conv")(h)
+        h = ReflectConv2d(f, 7, name="init_conv")(x)
         h = tnn.relu(tnn.instance_norm(h))
         feats = f
         for i in range(3):
@@ -58,8 +58,7 @@ class ResnetGenerator(nn.Module):
             h = ConvTranspose2d(feats, 3, stride=2, padding=1, output_padding=1,
                                 name=f"up_{i}")(h)
             h = tnn.relu(tnn.instance_norm(h))
-        h = tnn.reflection_pad2d(h, 3)
-        h = Conv2d(self.output_nc, 7, name="out_conv")(h)
+        h = ReflectConv2d(self.output_nc, 7, name="out_conv")(h)
         return tnn.tanh(h)
 
 
@@ -88,8 +87,7 @@ class _SkipDecoderBase(nn.Module):
     @nn.compact
     def __call__(self, x):
         f = self.in_features
-        h = tnn.reflection_pad2d(x, 3)
-        h = Conv2d(f, 7, name="init_conv")(h)
+        h = ReflectConv2d(f, 7, name="init_conv")(x)
         h = tnn.relu(tnn.instance_norm(h))
 
         skips = []
@@ -105,8 +103,7 @@ class _SkipDecoderBase(nn.Module):
             skip = skips[self.down_sample - 1 - i]
             h = jnp.concatenate([h, skip], axis=-1)
             h = self.decoder_block(i, feats)(h)
-        h = tnn.reflection_pad2d(h, 3)
-        h = Conv2d(self.output_nc, 7, name="out_conv")(h)
+        h = ReflectConv2d(self.output_nc, 7, name="out_conv")(h)
         return tnn.tanh(h)
 
 

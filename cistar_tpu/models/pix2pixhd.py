@@ -34,7 +34,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from cistar_tpu.ops import nn as tnn
-from cistar_tpu.ops.blocks import MSRB, Conv2d, ConvTranspose2d
+from cistar_tpu.ops.blocks import MSRB, Conv2d, ConvTranspose2d, ReflectConv2d
 
 
 class NormLayer(nn.Module):
@@ -87,14 +87,20 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         p = 1 if self.padding_type == "zero" else 0
-        h = x if p else tnn.pad2d(x, 1, self.padding_type)
-        h = Conv2d(self.features, 3, padding=p, name="conv1")(h)
+        if self.padding_type == "reflect":
+            h = ReflectConv2d(self.features, 3, name="conv1")(x)
+        else:
+            h = x if p else tnn.pad2d(x, 1, self.padding_type)
+            h = Conv2d(self.features, 3, padding=p, name="conv1")(h)
         h = NormLayer(self.norm, name="norm1")(h) if self.norm != "instance" else tnn.instance_norm(h)
         h = tnn.relu(h)
         if self.use_dropout and not deterministic:
             h = tnn.dropout(h, 0.5, self.make_rng("dropout"), deterministic)
-        h2 = h if p else tnn.pad2d(h, 1, self.padding_type)
-        h2 = Conv2d(self.features, 3, padding=p, name="conv2")(h2)
+        if self.padding_type == "reflect":
+            h2 = ReflectConv2d(self.features, 3, name="conv2")(h)
+        else:
+            h2 = h if p else tnn.pad2d(h, 1, self.padding_type)
+            h2 = Conv2d(self.features, 3, padding=p, name="conv2")(h2)
         h2 = NormLayer(self.norm, name="norm2")(h2) if self.norm != "instance" else tnn.instance_norm(h2)
         return x + h2
 
@@ -107,8 +113,7 @@ class _C7S1(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = tnn.reflection_pad2d(x, 3)
-        h = Conv2d(self.features, 7, name="conv")(h)
+        h = ReflectConv2d(self.features, 7, name="conv")(x)
         if self.norm != "none":
             h = NormLayer(self.norm, name="norm")(h) if self.norm != "instance" else tnn.instance_norm(h)
         return tnn.relu(h)
@@ -142,8 +147,7 @@ class _OutHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = tnn.reflection_pad2d(x, 3)
-        h = Conv2d(self.output_nc, 7, name="conv")(h)
+        h = ReflectConv2d(self.output_nc, 7, name="conv")(x)
         return tnn.tanh(h)
 
 

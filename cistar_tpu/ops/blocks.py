@@ -41,6 +41,25 @@ class Conv2d(nn.Module):
                           dilation=self.dilation, groups=self.groups)
 
 
+class ReflectConv2d(nn.Module):
+    """Stride-1 reflect-padded "same" conv via the border-fixup fast path
+    (``ops.nn.conv2d_reflect``) — equivalent to ReflectionPad2d(p) + Conv2d(k)
+    without materializing the padded activation."""
+
+    features: int
+    kernel: int = 3
+    use_bias: bool = True
+    kernel_init: Callable = default_kernel_init
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel
+        cin = x.shape[-1]
+        w = self.param("w", self.kernel_init, (k, k, cin, self.features))
+        b = self.param("b", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        return tnn.conv2d_reflect(x, w, b)
+
+
 class ConvTranspose2d(nn.Module):
     """torch ``nn.ConvTranspose2d`` analog (weight HWIO, I=in, O=out)."""
 
@@ -144,12 +163,10 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = tnn.reflection_pad2d(x, 1)
-        h = Conv2d(self.features, 3, name="conv1")(h)
+        h = ReflectConv2d(self.features, 3, name="conv1")(x)
         h = tnn.instance_norm(h)
         h = tnn.relu(h)
-        h = tnn.reflection_pad2d(h, 1)
-        h = Conv2d(self.features, 3, name="conv2")(h)
+        h = ReflectConv2d(self.features, 3, name="conv2")(h)
         h = tnn.instance_norm(h)
         return x + h
 
@@ -208,8 +225,7 @@ class ResidualBlockAtrous(nn.Module):
     @nn.compact
     def __call__(self, x):
         h = MultiAtrousConv(self.features, name="atrous")(x)
-        h = tnn.reflection_pad2d(h, 1)
-        h = Conv2d(self.features, 3, name="conv")(h)
+        h = ReflectConv2d(self.features, 3, name="conv")(h)
         h = tnn.instance_norm(h)
         return x + h
 

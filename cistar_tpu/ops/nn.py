@@ -330,3 +330,44 @@ def instance_norm_act(x: jnp.ndarray, act: str = "none",
     return fused_instance_norm_act(x, act=act, eps=eps,
                                    negative_slope=negative_slope,
                                    residual=residual)
+
+
+def conv2d_reflect(x: jnp.ndarray, w: jnp.ndarray,
+                   b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Stride-1 "same" conv with reflection padding, without materializing the
+    padded activation.
+
+    ``ReflectionPad2d(p) → Conv2d(k)`` costs a full extra HBM round trip for
+    the padded copy (XLA folds only ZERO padding into the conv itself). This
+    assembles the output from a VALID conv over the untouched interior plus
+    thin border strips convolved over reflect-padded contexts, joined by
+    concatenation (no read-modify-write patching). Identical to the padded
+    computation bit-for-bit.
+    """
+    k = w.shape[0]
+    p = (k - 1) // 2
+    n, h, wd, _ = x.shape
+
+    def vconv(s):
+        return conv2d(s, w, b, stride=1, padding=0)
+
+    interior = vconv(x)  # (h-2p, wd-2p), valid everywhere
+
+    xw = jnp.pad(x, ((0, 0), (0, 0), (p, p), (0, 0)), mode="reflect")
+    top_ctx = jnp.concatenate(
+        [jnp.flip(xw[:, 1:p + 1], axis=1), xw[:, :2 * p]], axis=1)
+    top = vconv(top_ctx)                       # (p, wd)
+    bot_ctx = jnp.concatenate(
+        [xw[:, h - 2 * p:], jnp.flip(xw[:, h - p - 1:h - 1], axis=1)], axis=1)
+    bot = vconv(bot_ctx)                       # (p, wd)
+
+    left_ctx = jnp.concatenate(
+        [jnp.flip(x[:, :, 1:p + 1], axis=2), x[:, :, :2 * p]], axis=2)
+    left = vconv(left_ctx)                     # (h-2p, p)
+    right_ctx = jnp.concatenate(
+        [x[:, :, wd - 2 * p:], jnp.flip(x[:, :, wd - p - 1:wd - 1], axis=2)],
+        axis=2)
+    right = vconv(right_ctx)                   # (h-2p, p)
+
+    middle = jnp.concatenate([left, interior, right], axis=2)  # (h-2p, wd)
+    return jnp.concatenate([top, middle, bot], axis=1)         # (h, wd)
