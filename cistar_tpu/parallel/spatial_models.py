@@ -1,0 +1,85 @@
+"""Spatially-sharded model forwards built on ``parallel.spatial``.
+
+For resolutions whose activations exceed one chip's HBM (the reference's
+1024² global+local config at batch>1, or larger radar maps), these run the
+pix2pixHD ``GlobalGenerator`` architecture with the image's H axis sharded
+across the mesh: convs exchange halo rows over ICI, instance-norm statistics
+reduce with ``psum``, and the output comes back sharded the same way. Uses
+the exact params tree of ``models.pix2pixhd.GlobalGenerator`` — one set of
+weights serves both the single-chip and the sharded path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cistar_tpu.ops import nn as tnn
+from cistar_tpu.parallel import spatial as sp
+
+
+def _wb(node: Dict[str, Any]):
+    return node["w"], node.get("b")
+
+
+def global_generator_slab_forward(params: Dict[str, Any], x: jnp.ndarray,
+                                  n_downsampling: int, n_blocks: int,
+                                  axis_name: str = sp.SPATIAL_AXIS) -> jnp.ndarray:
+    """GlobalGenerator forward on one H-slab (call under shard_map)."""
+    trunk = params["trunk"]
+
+    w, b = _wb(trunk["stem"]["conv"])
+    h = sp.spatial_conv2d(x, w, b, 1, (w.shape[0] - 1) // 2, "reflect", axis_name)
+    h = tnn.relu(sp.spatial_instance_norm(h, axis_name=axis_name))
+
+    for i in range(n_downsampling):
+        w, b = _wb(trunk[f"down_{i}"]["conv"])
+        h = sp.spatial_conv2d(h, w, b, 2, 1, "zero", axis_name)
+        h = tnn.relu(sp.spatial_instance_norm(h, axis_name=axis_name))
+
+    for i in range(n_blocks):
+        blk = trunk[f"res_{i}"]
+        w, b = _wb(blk["conv1"])
+        r = sp.spatial_conv2d(h, w, b, 1, 1, "reflect", axis_name)
+        r = tnn.relu(sp.spatial_instance_norm(r, axis_name=axis_name))
+        w, b = _wb(blk["conv2"])
+        r = sp.spatial_conv2d(r, w, b, 1, 1, "reflect", axis_name)
+        h = h + sp.spatial_instance_norm(r, axis_name=axis_name)
+
+    for i in range(n_downsampling):
+        w, b = _wb(trunk[f"up_{i}"]["convt"])
+        h = sp.spatial_conv_transpose2d(h, w, b, axis_name)
+        h = tnn.relu(sp.spatial_instance_norm(h, axis_name=axis_name))
+
+    w, b = _wb(params["head"]["conv"])
+    h = sp.spatial_conv2d(h, w, b, 1, (w.shape[0] - 1) // 2, "reflect", axis_name)
+    return tnn.tanh(h)
+
+
+def global_generator_sharded_apply(params: Dict[str, Any], x: jnp.ndarray,
+                                   mesh: Mesh, n_downsampling: int = 3,
+                                   n_blocks: int = 9,
+                                   axis_name: str = sp.SPATIAL_AXIS) -> jnp.ndarray:
+    """Run GlobalGenerator with H sharded over ``axis_name`` of ``mesh``.
+
+    Requires H divisible by ``mesh_axis_size · 2^n_downsampling`` so every
+    stride keeps slabs even.
+    """
+    n_shards = mesh.shape[axis_name]
+    assert x.shape[1] % (n_shards * 2 ** n_downsampling) == 0, (
+        f"H={x.shape[1]} must divide evenly into {n_shards} shards "
+        f"through {n_downsampling} stride-2 stages")
+
+    fn = shard_map(
+        lambda p, s: global_generator_slab_forward(p, s, n_downsampling,
+                                                   n_blocks, axis_name),
+        mesh=mesh,
+        in_specs=(P(), P(None, axis_name, None, None)),
+        out_specs=P(None, axis_name, None, None),
+        check_vma=False,
+    )
+    return fn(params, x)

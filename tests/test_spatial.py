@@ -96,3 +96,18 @@ def test_spatial_mini_generator_stack(rng, mesh):
     ref = reference(x)
     out = _run(mesh, sharded, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_global_generator_matches_single_device(rng, mesh):
+    """Full GlobalGenerator: spatially sharded forward == single-device."""
+    from cistar_tpu.models.pix2pixhd import GlobalGenerator
+    from cistar_tpu.parallel.spatial_models import global_generator_sharded_apply
+
+    model = GlobalGenerator(output_nc=1, ngf=4, n_downsampling=2, n_blocks=2)
+    x = jnp.asarray(rng.randn(1, 64, 32, 1).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    ref = model.apply({"params": params}, x)
+    out = global_generator_sharded_apply(params, x, mesh, n_downsampling=2,
+                                         n_blocks=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
