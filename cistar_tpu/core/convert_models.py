@@ -236,3 +236,31 @@ def convert_p2phd_generator(sd: SD, net_g: str, **kw) -> Dict[str, Any]:
     if net_g == "UNet":
         return convert_unet_generator_hd(sd, kw.get("n_blocks_global", 3))
     raise NotImplementedError(f"converter for netG={net_g!r}")
+
+
+def convert_feature_encoder(numbered_sd: Dict[str, Dict[str, np.ndarray]],
+                            n_downsampling: int = 4, n_scale: int = 3
+                            ) -> Dict[str, Any]:
+    """``FeatureEncoder``'s bespoke save format (``networks.py:616-631``): a
+    dict ``{str(i): sub_state_dict}`` — branches first (each Sequential wraps
+    the SHARED first_layer, so every branch sub-dict holds identical stem
+    weights), then the down_conv stages. We take the stem from branch 0 and
+    map each down_conv to ``down_{i}``."""
+    params: Dict[str, Any] = {}
+    branch0 = numbered_sd["0"]
+    entries = _collect(branch0, "")
+    if len(entries) != 1:
+        raise ValueError(f"branch 0 should hold exactly the stem conv, got "
+                         f"{[e[1] for e in entries]}")
+    base = entries[0][1]
+    _set(params, "stem/conv", branch0[base + ".weight"],
+         branch0.get(base + ".bias"), "conv")
+    for i in range(n_downsampling):
+        sub = numbered_sd[str(n_scale + i)]
+        entries = _collect(sub, "")
+        if len(entries) != 1:
+            raise ValueError(f"down_conv {i}: expected 1 conv, got {len(entries)}")
+        base = entries[0][1]
+        _set(params, f"down_{i}/conv", sub[base + ".weight"],
+             sub.get(base + ".bias"), "conv")
+    return params

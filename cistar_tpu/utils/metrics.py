@@ -52,9 +52,18 @@ class MetricsLogger:
     """
 
     def __init__(self, out_dir: str, n_epochs: int, batches_per_epoch: int,
-                 start_epoch: int = 0, log_every: int = 50):
+                 start_epoch: int = 0, log_every: int = 50,
+                 tf_log: bool = False):
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
+        self._tb = None
+        if tf_log:  # parity with the reference's --tf_log summaries
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(out_dir, "logs"))
+            except ImportError:
+                pass
         self.n_epochs = n_epochs
         self.bpe = batches_per_epoch
         self.epoch = start_epoch
@@ -92,6 +101,9 @@ class MetricsLogger:
 
     def end_epoch(self) -> Dict[str, float]:
         means = self.means()
+        if self._tb is not None:
+            for k, v in means.items():
+                self._tb.add_scalar(k, v, self.epoch)
         record = {"epoch": self.epoch, **means}
         self.history.append(record)
         with open(self._jsonl_path, "a") as f:
