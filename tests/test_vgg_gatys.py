@@ -81,3 +81,75 @@ def test_tiny_gatys_transfer_decreases_loss(rng):
     assert out.shape == content.shape
     assert np.isfinite(float(final_loss))
     assert float(losses[-1]) <= float(losses[0])
+
+
+def test_gatys_optimization_tracks_torch_reference(rng):
+    """Full pipeline parity: same VGG weights, same L-BFGS semantics — our
+    jitted optimizer should reach a comparable loss and similar image to a
+    torch reimplementation of the reference loop (30 iters @ 48²)."""
+    import torch
+    import torch.nn as nn
+
+    size, iters = 48, 30
+    params = vgg_lib.init_vgg_params(seed=3)
+    content = rng.rand(1, size, size, 3).astype(np.float32) * 255 - 120
+    style = rng.rand(1, size, size, 3).astype(np.float32) * 255 - 120
+
+    # ---- torch side (reference semantics) --------------------------------
+    layers = _build_torch_vgg19(params)
+
+    def t_feats(x, keys):
+        return _torch_forward(layers, x, keys)
+
+    style_layers = ["relu1_1", "relu2_1", "relu3_1", "relu4_1", "relu5_1"]
+    weights = [1e3 / n ** 2 for n in [64, 128, 256, 512, 512]] + [5e-1]
+
+    def t_gram(f):
+        b, c, h, w = f.shape
+        F = f.view(b, c, h * w)
+        return torch.bmm(F, F.transpose(1, 2)) / (h * w)
+
+    c_t = torch.from_numpy(np.ascontiguousarray(np.transpose(content, (0, 3, 1, 2))))
+    s_t = torch.from_numpy(np.ascontiguousarray(np.transpose(style, (0, 3, 1, 2))))
+    with torch.no_grad():
+        s_targets = [t_gram(f) for f in t_feats(s_t, style_layers)]
+        c_targets = t_feats(c_t, ["relu4_2"])
+    opt_img = c_t.clone().requires_grad_(True)
+    optimizer = torch.optim.LBFGS([opt_img])
+    n_evals = [0]
+    while n_evals[0] < iters:
+        def closure():
+            optimizer.zero_grad()
+            outs = t_feats(opt_img, style_layers + ["relu4_2"])
+            loss = sum(w * torch.nn.functional.mse_loss(t_gram(o), t)
+                       for w, o, t in zip(weights[:5], outs[:5], s_targets))
+            loss = loss + weights[5] * torch.nn.functional.mse_loss(
+                outs[5], c_targets[0])
+            loss.backward()
+            n_evals[0] += 1
+            return loss
+        optimizer.step(closure)
+    with torch.no_grad():
+        outs = t_feats(opt_img, style_layers + ["relu4_2"])
+        torch_final = float(sum(
+            w * torch.nn.functional.mse_loss(t_gram(o), t)
+            for w, o, t in zip(weights[:5], outs[:5], s_targets))
+            + weights[5] * torch.nn.functional.mse_loss(outs[5], c_targets[0]))
+
+    # ---- our side ---------------------------------------------------------
+    from cistar_tpu.core.config import get_ist_cfg_defaults
+    from cistar_tpu.engines.ist import GatysEngine
+
+    cfg = get_ist_cfg_defaults()
+    cfg.DATA.IMG_SIZE = size
+    eng = GatysEngine(cfg, params, compute_dtype=jnp.float32, history_size=100)
+    out, our_final, _ = eng.optimize(jnp.asarray(content), jnp.asarray(style),
+                                     max_iters=iters)
+    our_final = float(our_final)
+    assert np.isfinite(our_final)
+    # identical semantics should land within 25% of the torch loss
+    assert our_final <= torch_final * 1.25 + 1e-6, (our_final, torch_final)
+    # and the images should be close (normalized RMSE on the 0..255 scale)
+    t_img = np.transpose(opt_img.detach().numpy(), (0, 2, 3, 1))
+    rmse = float(np.sqrt(np.mean((np.asarray(out) - t_img) ** 2)))
+    assert rmse < 25.0, rmse
