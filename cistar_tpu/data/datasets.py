@@ -174,13 +174,76 @@ class UDADataset:
                 "path": self.radar[index]}
 
 
+class NativeCycleGANDataset:
+    """CycleGAN dataset backed by the native C++ loader (libpng decode +
+    resize + normalize in a thread pool — ``native/dataloader.cpp``).
+
+    Same split policy and pairing semantics as :class:`CycleGANImageDataset`;
+    train-mode rotation falls back to numpy (rotation is cheap relative to
+    decode). Construct via :func:`make_cyclegan_dataset` which picks native
+    when the extension builds.
+    """
+
+    def __init__(self, root: str, size: int, unaligned: bool = False,
+                 mode: str = "train", seed: int = 0, n_threads: int = 8):
+        from cistar_tpu.data.native_loader import NativePngLoader
+
+        files_a = _list_pngs(os.path.join(root, "radar"))
+        files_b = _list_pngs(os.path.join(root, "lidar"))
+        split = int(len(files_a) * 0.5)
+        test = int(len(files_a) * 0.9)
+        if mode == "train":
+            files_a, files_b = files_a[:split], files_b[:split]
+        else:
+            files_a, files_b = files_a[test:], files_b[test:]
+        self.loader_a = NativePngLoader(files_a, size, channels=1,
+                                        n_threads=n_threads)
+        self.loader_b = NativePngLoader(files_b, size, channels=1,
+                                        n_threads=n_threads)
+        self.files_a = files_a
+        self.unaligned = unaligned
+        self.mode = mode
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        return max(len(self.loader_a), len(self.loader_b))
+
+    def get_batch(self, indices) -> Dict[str, np.ndarray]:
+        ia = [i % len(self.loader_a) for i in indices]
+        if self.unaligned:
+            ib = list(self.rng.randint(0, len(self.loader_b), len(indices)))
+        else:
+            ib = [i % len(self.loader_b) for i in indices]
+        a = self.loader_a.get_batch(ia)
+        b = self.loader_b.get_batch(ib)
+        if self.mode == "train":
+            for j in range(a.shape[0]):
+                angle = self.rng.randint(-45, 46)
+                a[j] = T.rotate_image(a[j], angle)
+                b[j] = T.rotate_image(b[j], angle)
+        names = [os.path.basename(self.files_a[i]) for i in ia]
+        return {"A": a, "B": b, "name": names}
+
+
+def make_cyclegan_dataset(root: str, size: Optional[int], unaligned: bool,
+                          mode: str, prefer_native: bool = True):
+    """Native loader when the C++ extension builds; PIL fallback otherwise."""
+    if prefer_native and size is not None:
+        try:
+            return NativeCycleGANDataset(root, size, unaligned, mode)
+        except Exception:
+            pass
+    return CycleGANImageDataset(root, size=size, unaligned=unaligned, mode=mode)
+
+
 class Loader:
     """Batching iterator with deterministic shuffling and background prefetch.
 
     The TPU-friendly replacement for torch ``DataLoader(num_workers=N)``
     (``CycleGAN/train.py:160-161``, ``p2pHD/data/custom_dataset_data_loader.py``):
     a host thread assembles NHWC batches ahead of the device, so the jitted
-    step never waits on PNG decode.
+    step never waits on PNG decode. Datasets exposing ``get_batch(indices)``
+    (the native C++ loader) skip Python per-item collation entirely.
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
@@ -221,10 +284,15 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
+        has_batch_api = hasattr(self.ds, "get_batch")
+
         def worker():
             try:
                 for b in batches:
-                    q.put(self._collate([self.ds[int(i)] for i in b]))
+                    if has_batch_api:
+                        q.put(self.ds.get_batch([int(i) for i in b]))
+                    else:
+                        q.put(self._collate([self.ds[int(i)] for i in b]))
             finally:
                 q.put(stop)
 
