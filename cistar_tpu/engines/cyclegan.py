@@ -135,17 +135,24 @@ class CycleGAN:
             state.epoch, self.n_epochs, self.start_epoch, self.decay_epoch)
 
         # ---- generator update ---------------------------------------------
+        # Identity and translation passes through the same generator are
+        # batched into one call (instance norm is per-sample, so results are
+        # bit-identical to separate calls) — halves launch count and doubles
+        # MXU batch utilization at the reference's small batch sizes.
+        bs = real_a.shape[0]
+
         def g_loss_fn(gp):
-            same_b = self._gen(self.G_a2b, gp["a2b"], real_b)
+            ab = self._gen(self.G_a2b, gp["a2b"],
+                           jnp.concatenate([real_b, real_a], axis=0))
+            same_b, fake_b = ab[:bs], ab[bs:]
             loss_id_b = self.criterion(same_b, real_b) * self.id_w
-            same_a = self._gen(self.G_b2a, gp["b2a"], real_a)
+            ba = self._gen(self.G_b2a, gp["b2a"],
+                           jnp.concatenate([real_a, real_b], axis=0))
+            same_a, fake_a = ba[:bs], ba[bs:]
             loss_id_a = self.criterion(same_a, real_a) * self.id_w
 
-            fake_b = self._gen(self.G_a2b, gp["a2b"], real_a)
             pred_fake_b = self._disc(self.D_b, state.d_b, fake_b)
             loss_gan_a2b = lsgan_loss(pred_fake_b, True) * self.gan_w
-
-            fake_a = self._gen(self.G_b2a, gp["b2a"], real_b)
             pred_fake_a = self._disc(self.D_a, state.d_a, fake_a)
             loss_gan_b2a = lsgan_loss(pred_fake_a, True) * self.gan_w
 
@@ -193,10 +200,10 @@ class CycleGAN:
         # ---- discriminator updates (gated on loss floor) -------------------
         def d_step(module, params, opt_state, real, fake_hist):
             def d_loss_fn(p):
-                pred_real = self._disc(module, p, real)
-                loss_real = lsgan_loss(pred_real, True)
-                pred_fake = self._disc(module, p, fake_hist)
-                loss_fake = lsgan_loss(pred_fake, False)
+                preds = self._disc(module, p,
+                                   jnp.concatenate([real, fake_hist], axis=0))
+                loss_real = lsgan_loss(preds[:real.shape[0]], True)
+                loss_fake = lsgan_loss(preds[real.shape[0]:], False)
                 return (loss_real + loss_fake) * 0.5
 
             loss_d, grads = jax.value_and_grad(d_loss_fn)(params)
