@@ -187,16 +187,25 @@ class Pix2PixHD:
         feat_w = 4.0 / (self.n_layers_d + 1)
         d_w = 1.0 / self.num_d
 
+        bs = label.shape[0]
+
         def g_loss_fn(gp):
             fake = self._g_apply(gp, input_label)
-            pred_fake = self._d_apply(
-                state.d, jnp.concatenate([input_label, fake], axis=-1))
+            if self.use_ganfeat:
+                # one batched D call over (fake ‖ real) pairs — per-sample
+                # norms make this bit-identical to two separate calls
+                both = self._d_apply(state.d, jnp.concatenate([
+                    jnp.concatenate([input_label, fake], axis=-1),
+                    jnp.concatenate([input_label, image], axis=-1)], axis=0))
+                pred_fake = jax.tree.map(lambda t: t[:bs], both)
+                pred_real = jax.tree.map(lambda t: t[bs:], both)
+            else:
+                pred_fake = self._d_apply(
+                    state.d, jnp.concatenate([input_label, fake], axis=-1))
             loss_g_gan = gan_loss(pred_fake, True, self.use_lsgan)
 
             loss_feat = jnp.float32(0)
             if self.use_ganfeat:
-                pred_real = self._d_apply(
-                    state.d, jnp.concatenate([input_label, image], axis=-1))
                 for i in range(self.num_d):
                     for j in range(len(pred_fake[i]) - 1):
                         loss_feat = loss_feat + d_w * feat_w * self.lambda_feat * \
@@ -227,10 +236,13 @@ class Pix2PixHD:
             pool, fake_concat = push_and_pop(pool, fake_concat, k_pool)
 
         def d_loss_fn(dp):
-            pred_fake_pool = self._d_apply(dp, fake_concat)
-            loss_d_fake = gan_loss(pred_fake_pool, False, self.use_lsgan)
-            pred_real = self._d_apply(dp, real_concat)
-            loss_d_real = gan_loss(pred_real, True, self.use_lsgan)
+            both = self._d_apply(
+                dp, jnp.concatenate([fake_concat, real_concat], axis=0))
+            nb = fake_concat.shape[0]
+            loss_d_fake = gan_loss(jax.tree.map(lambda t: t[:nb], both),
+                                   False, self.use_lsgan)
+            loss_d_real = gan_loss(jax.tree.map(lambda t: t[nb:], both),
+                                   True, self.use_lsgan)
             return (loss_d_fake + loss_d_real) * 0.5, (loss_d_fake, loss_d_real)
 
         (loss_d, (loss_d_fake, loss_d_real)), d_grads = jax.value_and_grad(
