@@ -120,3 +120,24 @@ def load_iter(save_dir: str) -> Tuple[int, int]:
     with open(path) as f:
         epoch, it = f.read().strip().split(",")
     return int(epoch), int(it)
+
+
+# --------------------------------------------------------------------------- #
+# Orbax backend (async, multi-host-capable) — optional alternative to .npz
+# --------------------------------------------------------------------------- #
+def save_orbax(path: str, tree: Any) -> None:
+    """Save a pytree with Orbax (for large-scale runs wanting async/multi-host
+    checkpointing; the .npz path remains the default at this model scale)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), jax.tree.map(np.asarray, tree), force=True)
+    ckptr.wait_until_finished()
+
+
+def load_orbax(path: str, like: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path),
+                         target=jax.tree.map(np.asarray, like))

@@ -247,7 +247,8 @@ class Loader:
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
-                 drop_last: bool = False, seed: int = 0, prefetch: int = 2):
+                 drop_last: bool = False, seed: int = 0, prefetch: int = 2,
+                 device_put: bool = False, mesh=None):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -255,6 +256,11 @@ class Loader:
         self.seed = seed
         self.prefetch = prefetch
         self.epoch = 0
+        # Double-buffered host→device transfer: when enabled, the prefetch
+        # thread also issues the (async) device_put so the jitted step never
+        # waits on the PCIe/tunnel copy.
+        self.device_put = device_put
+        self.mesh = mesh
 
     def __len__(self) -> int:
         n = len(self.ds)
@@ -286,13 +292,29 @@ class Loader:
 
         has_batch_api = hasattr(self.ds, "get_batch")
 
+        def to_device(batch):
+            if not self.device_put:
+                return batch
+            import jax
+
+            from cistar_tpu.parallel.sharding import shard_batch
+
+            arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
+            if self.mesh is not None:
+                arrays = shard_batch(arrays, self.mesh)
+            else:
+                arrays = jax.device_put(arrays)
+            out = dict(batch)
+            out.update(arrays)
+            return out
+
         def worker():
             try:
                 for b in batches:
                     if has_batch_api:
-                        q.put(self.ds.get_batch([int(i) for i in b]))
+                        q.put(to_device(self.ds.get_batch([int(i) for i in b])))
                     else:
-                        q.put(self._collate([self.ds[int(i)] for i in b]))
+                        q.put(to_device(self._collate([self.ds[int(i)] for i in b])))
             finally:
                 q.put(stop)
 
