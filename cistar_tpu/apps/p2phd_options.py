@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import Optional
 
 from cistar_tpu.core.config import parse_opt_txt
 

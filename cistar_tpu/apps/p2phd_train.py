@@ -15,7 +15,6 @@ Usage (radar defaults mirror the shipped ``r2l_MSRB*`` configs):
 from __future__ import annotations
 
 import os
-import time
 
 
 def main(argv=None):

@@ -19,8 +19,7 @@ checkpointing can be layered on for large multi-host runs; at this model scale
 from __future__ import annotations
 
 import os
-import re
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import numpy as np

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from cistar_tpu.losses.gan import count_points, l1_loss, lsgan_loss, mse_loss
+from cistar_tpu.losses.gan import count_points, l1_loss, lsgan_loss
 from cistar_tpu.models.cyclegan import PatchDiscriminator, build_generator
 from cistar_tpu.utils.image_pool import PoolState, init_pool, push_and_pop
 

@@ -24,7 +24,7 @@ Each trainer compiles to a single jitted SPMD step.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -32,7 +32,6 @@ import jax.numpy as jnp
 import optax
 
 from cistar_tpu.losses.gan import (
-    bce_with_logits,
     gan_loss,
     gradient_penalty,
     l1_loss,

@@ -13,7 +13,7 @@ reference's crop-based partial forward.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -12,7 +12,7 @@ All losses are pure functions returning fp32 scalars.
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Union
+from typing import Any, Sequence, Union
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ random init (still a valid perceptual metric, clearly logged by callers).
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax.numpy as jnp
 

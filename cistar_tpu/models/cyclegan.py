@@ -17,8 +17,6 @@ The generator dispatch-by-prefix rule of the reference CLI is reproduced by
 
 from __future__ import annotations
 
-from typing import Any, Dict
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -28,8 +28,6 @@ shipped radar configs all use instance norm).
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -9,7 +9,7 @@ init matches the reference's ``weights_init_normal`` / ``weights_init``
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple, Union
+from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from cistar_tpu.ops import nn as tnn
 from cistar_tpu.parallel import spatial as sp
