@@ -38,6 +38,9 @@ def parse_args(argv=None):
     p.add_argument("--platform", default="", choices=["", "cpu", "tpu", "axon"],
                    help="force a JAX platform (the baked sitecustomize pins the TPU)")
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--min_points", type=float, default=300.0,
+                   help="sparse-radar-frame skip threshold (reference value "
+                        "300 is calibrated for 512^2 frames)")
     return p.parse_args(argv)
 
 
@@ -67,6 +70,7 @@ def main(argv=None):
         start_epoch=args.epoch, decay_epoch=args.decay_epoch,
         image_size=args.size, batch_size=args.batchSize,
         dense_decoder=args.dense_decoder, cycle_criterion=criterion,
+        min_points=args.min_points,
         compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
     )
     state = engine.init_state(jax.random.PRNGKey(0), image_size=args.size)
