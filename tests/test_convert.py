@@ -332,3 +332,122 @@ def test_p2phd_unet_msrb_conversion(rng):
     model = UNetGeneratorHD(output_nc=1, n_residual_blocks=2, in_features=8)
     out = model.apply({"params": jax.tree.map(jnp.asarray, params)}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
+
+
+class _TMultiAtrousConv(nn.Module):
+    def __init__(self, ipc, opc, stride=1):
+        super().__init__()
+        def branch(r):
+            return nn.Sequential(nn.Conv2d(ipc, opc, 3, stride, r, r),
+                                 nn.InstanceNorm2d(opc), nn.ReLU())
+        self.b0, self.b1 = branch(2), branch(4)
+        self.b2, self.b3 = branch(6), branch(8)
+
+    def forward(self, x):
+        return self.b0(x) + self.b1(x) + self.b2(x) + self.b3(x)
+
+
+class _TMultiAtrousTransposeConv(nn.Module):
+    def __init__(self, ipc, opc, stride=2):
+        super().__init__()
+        bo = opc // 4
+        def branch(r):
+            return nn.Sequential(
+                nn.ConvTranspose2d(ipc, bo, 3, stride=stride, padding=r,
+                                   dilation=r, output_padding=1),
+                nn.InstanceNorm2d(bo))
+        self.b0, self.b1 = branch(2), branch(4)
+        self.b2, self.b3 = branch(6), branch(8)
+        self.relu = nn.ReLU()
+
+    def forward(self, x):
+        return self.relu(torch.cat(
+            (self.b0(x), self.b1(x), self.b2(x), self.b3(x)), dim=1))
+
+
+class _TSkipDecoderG(nn.Module):
+    """torch twin of GeneratorUnet / GeneratorMultiscale(+variants)."""
+
+    def __init__(self, kind, input_nc=1, output_nc=1, n_res=1, nf=8):
+        super().__init__()
+        self.init_block = nn.Sequential(
+            nn.ReflectionPad2d(3), nn.Conv2d(input_nc, nf, 7),
+            nn.InstanceNorm2d(nf), nn.ReLU(True))
+        f = nf
+        enc = []
+        for _ in range(3):
+            if kind == "unet":
+                enc.append(nn.Sequential(nn.Conv2d(f, f * 2, 3, 2, 1),
+                                         nn.InstanceNorm2d(f * 2), nn.ReLU(True)))
+            else:
+                enc.append(_TMultiAtrousConv(f, f * 2, stride=2))
+            f *= 2
+        self.encoder = nn.ModuleList(enc)
+        res = []
+        for _ in range(n_res):
+            if kind == "bilinear":
+                class _TResAtrous(nn.Module):
+                    def __init__(s, nf):
+                        super().__init__()
+                        s.atrous = _TMultiAtrousConv(nf, nf, 1)
+                        s.tail = nn.Sequential(nn.ReflectionPad2d(1),
+                                               nn.Conv2d(nf, nf, 3),
+                                               nn.InstanceNorm2d(nf))
+                    def forward(s, x):
+                        return x + s.tail(s.atrous(x))
+                res.append(_TResAtrous(f))
+            else:
+                res.append(_TResBlock(f))
+        self.res_block = nn.Sequential(*res)
+        dec = []
+        for _ in range(3):
+            if kind == "bilinear":
+                dec.append(nn.Sequential(
+                    nn.Upsample(scale_factor=2, mode="bilinear"),
+                    nn.Conv2d(f * 2, f // 2, 3, padding=1),
+                    nn.InstanceNorm2d(f // 2), nn.ReLU(True)))
+            elif kind == "atrous":
+                dec.append(_TMultiAtrousTransposeConv(f * 2, f // 2, stride=2))
+            else:
+                dec.append(nn.Sequential(
+                    nn.ConvTranspose2d(f * 2, f // 2, 3, 2, 1, output_padding=1),
+                    nn.InstanceNorm2d(f // 2), nn.ReLU(True)))
+            f //= 2
+        self.decoder = nn.ModuleList(dec)
+        self.output_layer = nn.Sequential(
+            nn.ReflectionPad2d(3), nn.Conv2d(f, output_nc, 7), nn.Tanh())
+
+    def forward(self, x):
+        h = self.init_block(x)
+        skips = []
+        for layer in self.encoder:
+            h = layer(h)
+            skips.append(h)
+        h = self.res_block(skips[-1])
+        for i, layer in enumerate(self.decoder):
+            h = layer(torch.cat((h, skips[2 - i]), dim=1))
+        return self.output_layer(h)
+
+
+@pytest.mark.parametrize("kind,gen_type", [
+    ("unet", "unet_content"),
+    ("atrous", "atrous_x"),       # dense_decoder=False -> atrous decoder
+    ("bilinear", "bilinear_content"),
+])
+def test_cyclegan_variant_conversions(rng, kind, gen_type):
+    import cistar_tpu.models.cyclegan as cgm
+
+    # bilinear decoder in the reference uses torch Upsample align_corners=False
+    t_model = _TSkipDecoderG(kind, n_res=1, nf=8).eval()
+    x = rng.randn(1, 32, 32, 1).astype(np.float32)
+    with torch.no_grad():
+        ref = _nhwc(t_model(_nchw(x)))
+    dense = kind == "unet"  # atrous kind uses atrous decoder
+    params = cm.convert_cyclegan_generator(_sd(t_model), gen_type,
+                                           n_residual_blocks=1,
+                                           dense_decoder=False)
+    from cistar_tpu.models.cyclegan import build_generator
+    model = build_generator(gen_type, output_nc=1, in_features=8,
+                            n_residual_blocks=1, dense_decoder=False)
+    out = model.apply({"params": jax.tree.map(jnp.asarray, params)}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-3, atol=3e-3)
