@@ -275,3 +275,37 @@ class Pix2PixHD:
         """Parity with ``Pix2PixHDModel.inference`` (no-feature path)."""
         input_label = self.encode_input(label, inst)
         return self._g_apply(g_params, input_label)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def infer_with_features(self, g_params, label, inst, feat_map):
+        """Feature-conditioned inference: G(input_label ‖ feat_map)
+        (``pix2pixHD_model.py:212-228`` with use_features)."""
+        input_label = self.encode_input(label, inst)
+        return self._g_apply(
+            g_params, jnp.concatenate([input_label, feat_map.astype(jnp.float32)],
+                                      axis=-1))
+
+
+def sample_features(inst: "np.ndarray", clusters: dict, feat_num: int,
+                    rng=None):
+    """Per-object style sampling from precomputed cluster centers — host-side
+    parity with ``Pix2PixHDModel.sample_features`` (:230-249): for each
+    instance id, pick a random cluster row of its label (``id//1000`` for ids
+    ≥1000) and paint it over the object's pixels.
+    """
+    import numpy as np
+
+    rng = rng or np.random
+    if inst.ndim == 4:
+        inst = inst[..., 0]
+    n, h, w = inst.shape
+    feat_map = np.zeros((n, h, w, feat_num), np.float32)
+    for i in np.unique(inst.astype(int)):
+        label = i if i < 1000 else i // 1000
+        if label not in clusters:
+            continue
+        feat = clusters[label]
+        row = feat[rng.randint(0, feat.shape[0])]
+        mask = inst.astype(int) == i
+        feat_map[mask] = row[:feat_num]
+    return feat_map

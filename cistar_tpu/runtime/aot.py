@@ -83,3 +83,22 @@ def cost_analysis(fn: Callable, *example_args) -> Dict[str, float]:
     if isinstance(costs, list):  # one entry per computation
         costs = costs[0] if costs else {}
     return dict(costs or {})
+
+
+def profile_trace(fn: Callable, *example_args, logdir: str = "/tmp/jax_trace",
+                  iters: int = 3):
+    """Capture an xprof trace of ``fn`` (per-op timeline — the deep-dive
+    replacement for the TRT layer profiler's table). Gracefully degrades to
+    :func:`profile_fn` stats when the backend doesn't support tracing."""
+    out = fn(*example_args)
+    _sync(out)
+    try:
+        with jax.profiler.trace(logdir):
+            for _ in range(iters):
+                out = fn(*example_args)
+            _sync(out)
+        return {"trace_dir": logdir}
+    except Exception as e:  # pragma: no cover - backend dependent
+        stats = profile_fn(fn, *example_args, iters=20)
+        stats["trace_error"] = str(e)[:200]
+        return stats
