@@ -111,3 +111,34 @@ def test_sharded_global_generator_matches_single_device(rng, mesh):
                                          n_blocks=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_2d_mesh_data_x_spatial(rng):
+    """Combined data-parallel × spatial sharding on a 2×4 mesh."""
+    from jax.sharding import Mesh
+
+    from cistar_tpu.models.pix2pixhd import GlobalGenerator
+    from cistar_tpu.parallel.spatial_models import global_generator_sharded_apply
+
+    mesh2d = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                  ("data", "spatial"))
+    model = GlobalGenerator(output_nc=1, ngf=4, n_downsampling=2, n_blocks=1)
+    x = jnp.asarray(rng.randn(2, 64, 16, 1).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    ref = model.apply({"params": params}, x)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from cistar_tpu.parallel.spatial_models import global_generator_slab_forward
+
+    fn = shard_map(
+        lambda p, s: global_generator_slab_forward(p, s, 2, 1, "spatial"),
+        mesh=mesh2d,
+        in_specs=(P(), P("data", "spatial", None, None)),
+        out_specs=P("data", "spatial", None, None),
+        check_vma=False,
+    )
+    out = fn(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
