@@ -90,6 +90,31 @@ class GatysEngine:
 
         return run
 
+    def optimize_batch(self, contents: jnp.ndarray, styles: jnp.ndarray,
+                       init_images: Optional[jnp.ndarray] = None,
+                       max_iters: Optional[int] = None):
+        """Batch of F independent Gatys optimizations in ONE compiled program.
+
+        vmap over the frame axis: each frame keeps its own L-BFGS history and
+        step sizes, so results are mathematically identical to F sequential
+        :meth:`optimize` calls — but the VGG forward/backward work batches
+        onto the MXU (the reference sweeps its directory one frame at a time,
+        ``IST/main.py:186-238``). Inputs are (F, 1, H, W, 3).
+        """
+        max_iters = int(max_iters or self.cfg.LOSS.MAX_ITER)
+        key = ("batch", contents.shape, max_iters)
+        if key not in self._compiled:
+            single = self._optimize_fn(max_iters)
+
+            def run_one(c, s, i):
+                return single(self.vgg_params, c, s, i)
+
+            self._compiled[key] = jax.jit(jax.vmap(run_one))
+        if init_images is None:
+            init_images = contents
+        return self._compiled[key](jnp.asarray(contents), jnp.asarray(styles),
+                                   jnp.asarray(init_images))
+
     def optimize(self, content: jnp.ndarray, style: jnp.ndarray,
                  init_image: Optional[jnp.ndarray] = None,
                  max_iters: Optional[int] = None):

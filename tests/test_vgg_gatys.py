@@ -153,3 +153,26 @@ def test_gatys_optimization_tracks_torch_reference(rng):
     t_img = np.transpose(opt_img.detach().numpy(), (0, 2, 3, 1))
     rmse = float(np.sqrt(np.mean((np.asarray(out) - t_img) ** 2)))
     assert rmse < 25.0, rmse
+
+
+def test_batched_gatys_matches_sequential(rng):
+    """optimize_batch == per-frame optimize (exact per-frame L-BFGS state)."""
+    cfg = get_ist_cfg_defaults()
+    cfg.DATA.IMG_SIZE = 24
+    params = vgg_lib.init_vgg_params(seed=0)
+    eng = GatysEngine(cfg, params, compute_dtype=jnp.float32, history_size=5)
+    contents = jnp.asarray(rng.rand(3, 1, 24, 24, 3).astype(np.float32) * 255 - 120)
+    styles = jnp.asarray(rng.rand(3, 1, 24, 24, 3).astype(np.float32) * 255 - 120)
+    # exact at 1 iteration (same math, different fp32 summation order only
+    # compounds after repeated steps of the chaotic iteration)
+    outs_b1, _, _ = eng.optimize_batch(contents, styles, max_iters=1)
+    out_s1, _, _ = eng.optimize(contents[0], styles[0], max_iters=1)
+    np.testing.assert_allclose(np.asarray(outs_b1[0]), np.asarray(out_s1),
+                               rtol=1e-5, atol=1e-4)
+    # after 5 iterations: same loss to ~0.1% and pixel agreement to <1/255
+    outs_b, losses_b, _ = eng.optimize_batch(contents, styles, max_iters=5)
+    for f in range(3):
+        out_s, loss_s, _ = eng.optimize(contents[f], styles[f], max_iters=5)
+        assert abs(float(losses_b[f]) - float(loss_s)) <= 0.002 * float(loss_s)
+        np.testing.assert_allclose(np.asarray(outs_b[f]), np.asarray(out_s),
+                                   atol=5.0)  # few px drift (chaotic iteration)
