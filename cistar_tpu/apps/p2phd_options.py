@@ -112,11 +112,16 @@ class BaseOptions:
         opt.isTrain = self.isTrain
 
         if opt.load_opt:
+            import sys
+
             legacy = parse_opt_txt(opt.load_opt)
+            given = argv if argv is not None else sys.argv[1:]
             provided = {a.split("=")[0].lstrip("-").replace("-", "_")
-                        for a in (argv or []) if a.startswith("--")}
+                        for a in given if a.startswith("--")}
             for k, v in legacy.items():
                 if hasattr(opt, k) and k not in provided:
+                    if v == "inf":
+                        v = float("inf")
                     setattr(opt, k, v)
 
         if opt.platform:

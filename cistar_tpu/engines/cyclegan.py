@@ -33,6 +33,8 @@ def lambda_lr_factor(epoch: jnp.ndarray, n_epochs: int, start_epoch: int,
                      decay_epoch: int) -> jnp.ndarray:
     """``LambdaLR.step`` (``CycleGAN/utils.py:116-124``): linear decay to 0
     from ``decay_epoch`` to ``n_epochs``."""
+    if n_epochs <= decay_epoch:
+        return jnp.asarray(1.0, jnp.float32)  # no decay phase (avoid 0/0)
     e = epoch.astype(jnp.float32)
     return 1.0 - jnp.maximum(0.0, e + start_epoch - decay_epoch) / (n_epochs - decay_epoch)
 

@@ -158,7 +158,10 @@ class Pix2PixHD:
 
     def lr_at(self, epoch: jnp.ndarray) -> jnp.ndarray:
         """Constant for ``niter`` epochs, then linear decay to 0 over
-        ``niter_decay`` (``pix2pixHD_model.py:299-308``)."""
+        ``niter_decay`` (``pix2pixHD_model.py:299-308``). ``niter_decay=0``
+        means no decay phase (the closed form would otherwise produce 0/0)."""
+        if self.niter_decay <= 0:
+            return jnp.asarray(self.lr, jnp.float32)
         e = epoch.astype(jnp.float32)
         decay_steps = jnp.maximum(e - self.niter + 1.0, 0.0)
         return self.lr * jnp.clip(1.0 - decay_steps / self.niter_decay, 0.0, 1.0)
