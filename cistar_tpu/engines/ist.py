@@ -39,11 +39,13 @@ class GatysEngine:
     """
 
     def __init__(self, cfg, vgg_params, compute_dtype=jnp.bfloat16,
-                 history_size: int = 100):  # torch.optim.LBFGS default history
+                 history_size: int = 100,   # torch.optim.LBFGS default history
+                 history_dtype=jnp.float32):
         self.cfg = cfg
         self.vgg_params = vgg_params
         self.compute_dtype = compute_dtype
         self.history_size = history_size
+        self.history_dtype = history_dtype
         self.style_layers: List[str] = list(cfg.LOSS.STYLE_LAYERS)
         self.content_layers: List[str] = list(cfg.LOSS.CONTENT_LAYERS)
         self.style_weights = [float(w) for w in cfg.LOSS.STYLE_WEIGHTS]
@@ -60,6 +62,7 @@ class GatysEngine:
         n_style = len(style_layers)
         cdt = self.compute_dtype
         hist = self.history_size
+        hdt = self.history_dtype
 
         @jax.jit
         def run(vgg_params, content, style, init_image):
@@ -86,7 +89,8 @@ class GatysEngine:
                 return total
 
             return lbfgs_minimize(loss_fn, init_image, max_iters,
-                                  lr=1.0, history_size=hist)
+                                  lr=1.0, history_size=hist,
+                                  history_dtype=hdt)
 
         return run
 

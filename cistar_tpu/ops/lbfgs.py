@@ -72,8 +72,8 @@ def _direction(state: LBFGSState, m: int) -> jnp.ndarray:
     ord_bwd = jnp.mod(head - 1 - idx, m)       # newest first
     ord_fwd = jnp.mod(head - count + idx, m)   # oldest first
 
-    Sg = jnp.matmul(S, g, precision=_PREC)
-    Yg = jnp.matmul(Y, g, precision=_PREC)
+    Sg = jnp.matmul(S, g, precision=_PREC).astype(jnp.float32)
+    Yg = jnp.matmul(Y, g, precision=_PREC).astype(jnp.float32)
 
     # ---- backward loop (alphas), newest-first order -----------------------
     rho_b = jnp.where(valid, rho[ord_bwd], 0.0)
@@ -90,7 +90,8 @@ def _direction(state: LBFGSState, m: int) -> jnp.ndarray:
     yy_last = state.yy[last, last]
     gamma = jnp.where(count > 0, ys_last / jnp.maximum(yy_last, 1e-38), 1.0)
 
-    r0 = gamma * (g - jnp.matmul(Y.T, alpha, precision=_PREC))
+    r0 = gamma * (g - jnp.matmul(Y.T, alpha.astype(Y.dtype),
+                                 precision=_PREC).astype(jnp.float32))
     Yr0 = gamma * (Yg - jnp.matmul(state.yy, alpha, precision=_PREC))
 
     # ---- forward loop (betas), oldest-first order -------------------------
@@ -105,7 +106,8 @@ def _direction(state: LBFGSState, m: int) -> jnp.ndarray:
     beta = jnp.zeros((m,), g.dtype).at[ord_fwd].set(beta_f)
 
     u = alpha - beta
-    d = -(r0 + jnp.matmul(S.T, u, precision=_PREC))
+    d = -(r0 + jnp.matmul(S.T, u.astype(S.dtype),
+                          precision=_PREC).astype(jnp.float32))
     return d
 
 
@@ -117,6 +119,7 @@ def lbfgs_minimize(
     history_size: int = 100,
     tolerance_grad: float = 1e-7,
     tolerance_change: float = 1e-9,
+    history_dtype=jnp.float32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Minimize ``loss_fn`` over a pytree ``x0`` with torch-LBFGS semantics.
 
@@ -138,8 +141,8 @@ def lbfgs_minimize(
         x=flat0,
         g=g0.astype(jnp.float32),
         loss=loss0.astype(jnp.float32),
-        s_hist=jnp.zeros((m, n), jnp.float32),
-        y_hist=jnp.zeros((m, n), jnp.float32),
+        s_hist=jnp.zeros((m, n), history_dtype),
+        y_hist=jnp.zeros((m, n), history_dtype),
         rho=jnp.zeros((m,), jnp.float32),
         sy=jnp.zeros((m, m), jnp.float32),
         yy=jnp.zeros((m, m), jnp.float32),
@@ -187,8 +190,11 @@ def lbfgs_minimize(
         store = (ys > 1e-10) & ~state.done
         idx = state.head
         zero_f = jnp.float32(0)
-        s_row = jnp.where(store, s_vec, state.s_hist[idx])
-        y_row = jnp.where(store, y, state.y_hist[idx])
+        # Rows may be stored at reduced precision (history_dtype=bf16 halves
+        # the optimizer's HBM traffic); ρ and the Gram caches are computed
+        # from the STORED values so the direction math stays self-consistent.
+        s_row = jnp.where(store, s_vec.astype(history_dtype), state.s_hist[idx])
+        y_row = jnp.where(store, y.astype(history_dtype), state.y_hist[idx])
         s_hist = state.s_hist.at[idx].set(s_row)
         y_hist = state.y_hist.at[idx].set(y_row)
         rho = state.rho.at[idx].set(
@@ -197,9 +203,9 @@ def lbfgs_minimize(
         # Incremental Gram updates: new row+column at slot ``idx``.
         # sy[i, j] = s_iᵀ y_j:  row idx ← s_newᵀ y_j = (Y @ s_new)_j;
         #                       col idx ← s_iᵀ y_new = (S @ y_new)_i.
-        Ys = jnp.matmul(y_hist, s_row, precision=_PREC)  # (m,)
-        Sy = jnp.matmul(s_hist, y_row, precision=_PREC)  # (m,)
-        Yy = jnp.matmul(y_hist, y_row, precision=_PREC)  # (m,)
+        Ys = jnp.matmul(y_hist, s_row, precision=_PREC).astype(jnp.float32)
+        Sy = jnp.matmul(s_hist, y_row, precision=_PREC).astype(jnp.float32)
+        Yy = jnp.matmul(y_hist, y_row, precision=_PREC).astype(jnp.float32)
         sy = state.sy.at[idx, :].set(jnp.where(store, Ys, state.sy[idx, :]))
         sy = sy.at[:, idx].set(jnp.where(store, Sy, sy[:, idx]))
         yy = state.yy.at[idx, :].set(jnp.where(store, Yy, state.yy[idx, :]))
