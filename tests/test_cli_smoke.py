@@ -1,0 +1,95 @@
+"""In-process CLI smoke tests: every app entry point runs end-to-end on tiny
+synthetic data (CPU platform comes from conftest)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def dataroot(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("data")
+    rng = np.random.RandomState(0)
+    for d in ("radar", "lidar"):
+        os.makedirs(root / d)
+        for i in range(10):
+            arr = (rng.rand(32, 32) > 0.5).astype(np.uint8) * 255
+            Image.fromarray(arr).save(root / d / f"{i:05d}.png")
+    return str(root)
+
+
+def test_cyclegan_train_and_test_cli(dataroot, tmp_path):
+    from cistar_tpu.apps.cyclegan_test import main as test_main
+    from cistar_tpu.apps.cyclegan_train import main as train_main
+
+    out = str(tmp_path / "run")
+    train_main([
+        "--dataroot", dataroot, "--size", "32", "--n_epochs", "1",
+        "--batchSize", "2", "--gen_type", "p2p", "--output_dir", out,
+        "--log_every", "10", "--dtype", "fp32", "--min_points", "5",
+    ])
+    assert os.path.exists(out + "_p2p/netG_A2B.npz")
+    test_main([
+        "--dataroot", dataroot, "--size", "32", "--gen_type", "p2p",
+        "--model_dir", out + "_p2p", "--dtype", "fp32",
+    ])
+    assert glob.glob(out + "_p2p/img_gen_test_rec/panel_*.png")
+
+
+def test_p2phd_train_and_test_cli(dataroot, tmp_path):
+    from cistar_tpu.apps.p2phd_test import main as test_main
+    from cistar_tpu.apps.p2phd_train import main as train_main
+
+    ckpt = str(tmp_path / "ckpt")
+    common = [
+        "--name", "smoke", "--checkpoints_dir", ckpt, "--dataroot", dataroot,
+        "--r2l", "--r2l_res", "32", "--no_instance", "--label_nc", "0",
+        "--input_nc", "1", "--output_nc", "1", "--netG", "global",
+        "--ngf", "4", "--n_downsample_global", "2", "--n_blocks_global", "1",
+        "--num_D", "2", "--no_vgg_loss",
+    ]
+    train_main(common + ["--niter", "1", "--niter_decay", "0",
+                         "--batchSize", "2", "--print_freq", "10"])
+    assert os.path.exists(os.path.join(ckpt, "smoke", "latest_net_G.npz"))
+    test_main(common + ["--results_dir", str(tmp_path / "results"),
+                        "--how_many", "1"])
+    assert os.path.exists(str(tmp_path / "results" / "smoke" / "test_latest"
+                              / "index.html"))
+
+
+def test_ist_main_cli(dataroot, tmp_path):
+    from cistar_tpu.apps.ist_main import main as ist_main
+
+    save = str(tmp_path / "ist_out")
+    style = sorted(glob.glob(os.path.join(dataroot, "lidar", "*.png")))[0]
+    ist_main([
+        "--content-dir", os.path.join(dataroot, "radar"),
+        "--style-image", style, "--save-dir", save,
+        "--max-iters", "3", "--limit", "1", "--dtype", "fp32",
+        "DATA.IMG_SIZE", "32",
+    ])
+    assert glob.glob(os.path.join(save, "*.png"))
+
+
+def test_convert_checkpoint_cli(tmp_path):
+    import torch
+    import torch.nn as nn
+
+    from cistar_tpu.apps.convert_checkpoint import main as convert_main
+
+    d = nn.Module()
+    d.model = nn.Sequential(
+        nn.Conv2d(1, 64, 4, 2, 1), nn.LeakyReLU(0.2),
+        nn.Conv2d(64, 128, 4, 2, 1), nn.InstanceNorm2d(128), nn.LeakyReLU(0.2),
+        nn.Conv2d(128, 256, 4, 2, 1), nn.InstanceNorm2d(256), nn.LeakyReLU(0.2),
+        nn.Conv2d(256, 512, 4, padding=1), nn.InstanceNorm2d(512), nn.LeakyReLU(0.2),
+        nn.Conv2d(512, 1, 4, padding=1))
+    pth = str(tmp_path / "netD_A.pth")
+    torch.save(d.state_dict(), pth)
+    out = str(tmp_path / "netD_A.npz")
+    convert_main(["--family", "cyclegan-d", "--in_pth", pth, "--out", out])
+    assert os.path.exists(out)
