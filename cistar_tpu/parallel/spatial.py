@@ -199,3 +199,39 @@ def sharded_apply(fn: Callable, x: jnp.ndarray, mesh: Mesh,
     f = shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
                   check_vma=False)
     return f(x)
+
+
+def spatial_avg_pool_3s2(x: jnp.ndarray,
+                         axis_name: str = SPATIAL_AXIS) -> jnp.ndarray:
+    """AvgPool2d(3, stride=2, padding=1, count_include_pad=False) on an
+    H-slab — the pix2pixHD pyramid downsampler (``networks.py:177``).
+
+    Halo-exchanges one row each way (zeroed at the true edges) and divides by
+    the true in-bounds window counts.
+    """
+    idx = _axis_index(axis_name)
+    n = _axis_size(axis_name)
+    h, w = x.shape[1], x.shape[2]
+    y = halo_exchange(x, 1, 1, axis_name)
+    zero_row = jnp.zeros_like(x[:, :1])
+    y = y.at[:, :1].set(jnp.where(idx == 0, zero_row, y[:, :1]))
+    y = y.at[:, -1:].set(jnp.where(idx == n - 1, zero_row, y[:, -1:]))
+    y = jnp.pad(y, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    summed = lax.reduce_window(
+        y.astype(jnp.float32), 0.0, lax.add,
+        window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (0, 0), (0, 0), (0, 0)))
+    # window validity counts: rows valid except above-global-top/below-bottom,
+    # cols valid except the padded W edges
+    row_ids = jnp.arange(h + 2, dtype=jnp.float32)[None, :, None, None]
+    global_row = row_ids + (idx * h - 1)
+    total_h = n * h
+    row_valid = ((global_row >= 0) & (global_row < total_h)).astype(jnp.float32)
+    col_ids = jnp.arange(w + 2, dtype=jnp.float32)[None, None, :, None]
+    col_valid = ((col_ids >= 1) & (col_ids <= w)).astype(jnp.float32)
+    counts = lax.reduce_window(
+        jnp.broadcast_to(row_valid * col_valid, (1, h + 2, w + 2, 1)),
+        0.0, lax.add,
+        window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (0, 0), (0, 0), (0, 0)))
+    return (summed / counts).astype(x.dtype)

@@ -83,3 +83,86 @@ def global_generator_sharded_apply(params: Dict[str, Any], x: jnp.ndarray,
         check_vma=False,
     )
     return fn(params, x)
+
+
+def local_enhancer_slab_forward(params: Dict[str, Any], x: jnp.ndarray,
+                                n_downsample_global: int, n_blocks_global: int,
+                                n_local_enhancers: int, n_blocks_local: int,
+                                axis_name: str = sp.SPATIAL_AXIS) -> jnp.ndarray:
+    """LocalEnhancer forward on one H-slab: sharded input pyramid (halo
+    avg-pool), sharded global trunk at the coarse scale, sharded enhancer
+    streams, output head. Parity with ``models.pix2pixhd.LocalEnhancer``."""
+    pyramid = [x]
+    for _ in range(n_local_enhancers):
+        pyramid.append(sp.spatial_avg_pool_3s2(pyramid[-1], axis_name))
+
+    g = params["global"]
+    w, b = _wb(g["stem"]["conv"])
+    h = sp.spatial_conv2d(pyramid[-1], w, b, 1, (w.shape[0] - 1) // 2,
+                          "reflect", axis_name)
+    h = tnn.relu(sp.spatial_instance_norm(h, axis_name=axis_name))
+    for i in range(n_downsample_global):
+        w, b = _wb(g[f"down_{i}"]["conv"])
+        h = sp.spatial_conv2d(h, w, b, 2, 1, "zero", axis_name)
+        h = tnn.relu(sp.spatial_instance_norm(h, axis_name=axis_name))
+    for i in range(n_blocks_global):
+        blk = g[f"res_{i}"]
+        w, b = _wb(blk["conv1"])
+        r = sp.spatial_conv2d(h, w, b, 1, 1, "reflect", axis_name)
+        r = tnn.relu(sp.spatial_instance_norm(r, axis_name=axis_name))
+        w, b = _wb(blk["conv2"])
+        r = sp.spatial_conv2d(r, w, b, 1, 1, "reflect", axis_name)
+        h = h + sp.spatial_instance_norm(r, axis_name=axis_name)
+    for i in range(n_downsample_global):
+        w, b = _wb(g[f"up_{i}"]["convt"])
+        h = sp.spatial_conv_transpose2d(h, w, b, axis_name)
+        h = tnn.relu(sp.spatial_instance_norm(h, axis_name=axis_name))
+
+    for n in range(1, n_local_enhancers + 1):
+        inp = pyramid[n_local_enhancers - n]
+        w, b = _wb(params[f"enh{n}_stem"]["conv"])
+        d = sp.spatial_conv2d(inp, w, b, 1, (w.shape[0] - 1) // 2,
+                              "reflect", axis_name)
+        d = tnn.relu(sp.spatial_instance_norm(d, axis_name=axis_name))
+        w, b = _wb(params[f"enh{n}_down"]["conv"])
+        d = sp.spatial_conv2d(d, w, b, 2, 1, "zero", axis_name)
+        d = tnn.relu(sp.spatial_instance_norm(d, axis_name=axis_name))
+        h = d + h
+        for i in range(n_blocks_local):
+            blk = params[f"enh{n}_res_{i}"]
+            w, b = _wb(blk["conv1"])
+            r = sp.spatial_conv2d(h, w, b, 1, 1, "reflect", axis_name)
+            r = tnn.relu(sp.spatial_instance_norm(r, axis_name=axis_name))
+            w, b = _wb(blk["conv2"])
+            r = sp.spatial_conv2d(r, w, b, 1, 1, "reflect", axis_name)
+            h = h + sp.spatial_instance_norm(r, axis_name=axis_name)
+        w, b = _wb(params[f"enh{n}_up"]["convt"])
+        h = sp.spatial_conv_transpose2d(h, w, b, axis_name)
+        h = tnn.relu(sp.spatial_instance_norm(h, axis_name=axis_name))
+    w, b = _wb(params["head"]["conv"])
+    h = sp.spatial_conv2d(h, w, b, 1, (w.shape[0] - 1) // 2, "reflect", axis_name)
+    return tnn.tanh(h)
+
+
+def local_enhancer_sharded_apply(params: Dict[str, Any], x: jnp.ndarray,
+                                 mesh: Mesh, n_downsample_global: int = 3,
+                                 n_blocks_global: int = 9,
+                                 n_local_enhancers: int = 1,
+                                 n_blocks_local: int = 3,
+                                 axis_name: str = sp.SPATIAL_AXIS) -> jnp.ndarray:
+    """Run LocalEnhancer with H sharded over ``axis_name`` (the 1024²+
+    coarse-to-fine configuration spread over the mesh)."""
+    n_shards = mesh.shape[axis_name]
+    need = n_shards * 2 ** (n_downsample_global + n_local_enhancers)
+    assert x.shape[1] % need == 0, (
+        f"H={x.shape[1]} must divide {need} (shards x total downsamples)")
+    fn = shard_map(
+        lambda p, s: local_enhancer_slab_forward(
+            p, s, n_downsample_global, n_blocks_global, n_local_enhancers,
+            n_blocks_local, axis_name),
+        mesh=mesh,
+        in_specs=(P(), P(None, axis_name, None, None)),
+        out_specs=P(None, axis_name, None, None),
+        check_vma=False,
+    )
+    return fn(params, x)

@@ -142,3 +142,28 @@ def test_2d_mesh_data_x_spatial(rng):
     out = fn(params, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_spatial_avg_pool_3s2(rng, mesh):
+    x = jnp.asarray(rng.randn(1, 32, 16, 3).astype(np.float32))
+    ref = tnn.avg_pool2d(x, 3, 2, padding=1, count_include_pad=False)
+    out = _run(mesh, lambda s: sp.spatial_avg_pool_3s2(s), x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_local_enhancer_matches_single_device(rng, mesh):
+    from cistar_tpu.models.pix2pixhd import LocalEnhancer
+    from cistar_tpu.parallel.spatial_models import local_enhancer_sharded_apply
+
+    model = LocalEnhancer(output_nc=1, ngf=4, n_downsample_global=2,
+                          n_blocks_global=2, n_local_enhancers=1,
+                          n_blocks_local=1)
+    x = jnp.asarray(rng.randn(1, 64, 32, 1).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    ref = model.apply({"params": params}, x)
+    out = local_enhancer_sharded_apply(params, x, mesh, n_downsample_global=2,
+                                       n_blocks_global=2, n_local_enhancers=1,
+                                       n_blocks_local=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
