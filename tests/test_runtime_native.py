@@ -44,13 +44,20 @@ def test_native_loader_resize_close_to_pil(png_dir):
         pytest.skip(f"native loader unavailable: {e}")
     from cistar_tpu.data import transforms as T
 
+    import torch
+
     paths = sorted(glob.glob(os.path.join(png_dir, "*.png")))
     ldr = NativePngLoader(paths, size=24, channels=1)
     batch = ldr.get_batch([0])
-    img = T.load_image(paths[0], "L").resize((24, 24))
-    ref = T.normalize(T.pil_to_array(img))
-    # both are half-pixel-centered bilinear; small resampling differences ok
-    assert np.abs(batch[0] - ref).mean() < 0.05
+    # reference: half-pixel point-sampled bilinear == torch interpolate with
+    # antialias=False (PIL and jax.image antialias on downscale — different
+    # convention, not the C++ sampler's target)
+    full = T.normalize(T.pil_to_array(T.load_image(paths[0], "L")))
+    t = torch.from_numpy(full[None].transpose(0, 3, 1, 2))
+    ref = torch.nn.functional.interpolate(
+        t, size=(24, 24), mode="bilinear", align_corners=False,
+        antialias=False).numpy()[0].transpose(1, 2, 0)
+    np.testing.assert_allclose(batch[0], ref, atol=2e-5)
 
 
 def test_aot_roundtrip_and_profile(tmp_path):
