@@ -166,3 +166,60 @@ def local_enhancer_sharded_apply(params: Dict[str, Any], x: jnp.ndarray,
         check_vma=False,
     )
     return fn(params, x)
+
+
+def unet_msrb_slab_forward(params: Dict[str, Any], x: jnp.ndarray,
+                           n_residual_blocks: int = 3,
+                           axis_name: str = sp.SPATIAL_AXIS) -> jnp.ndarray:
+    """p2pHD UNet-MSRB generator (the trained r2l_MSRB config) on an H-slab:
+    7x7 stride-2 halo downs, MSRB stages (k3/k5 halo convs), skip concats
+    (same H sharding on both sides), transpose-conv ups."""
+    w, b = _wb(params["init_block"]["conv"])
+    h = sp.spatial_conv2d(x, w, b, 1, 3, "reflect", axis_name)
+    h = tnn.relu(sp.spatial_instance_norm(h, axis_name=axis_name))
+    skips = []
+    for i in range(3):
+        w, b = _wb(params[f"down_{i}_conv"])
+        h = sp.spatial_conv2d(h, w, b, 2, 3, "zero", axis_name)
+        h = tnn.relu(sp.spatial_instance_norm(h, axis_name=axis_name))
+        skips.append(h)
+    for i in range(n_residual_blocks):
+        blk = params[f"msrb_{i}"]
+
+        def conv(h_, name, k):
+            w_, b_ = _wb(blk[name])
+            return sp.spatial_conv2d(h_, w_, b_, 1, (k - 1) // 2, "zero",
+                                     axis_name)
+
+        b00 = tnn.relu(conv(h, "b00_conv", 3))
+        b01 = tnn.relu(conv(h, "b01_conv", 5))
+        cat1 = jnp.concatenate([b00, b01], axis=-1)
+        b10 = tnn.relu(conv(cat1, "b10_conv", 3))
+        b11 = tnn.relu(conv(cat1, "b11_conv", 5))
+        cat2 = jnp.concatenate([b10, b11], axis=-1)
+        w_, b_ = _wb(blk["out_conv"])
+        h = sp.spatial_conv2d(cat2, w_, b_, 1, 0, "zero", axis_name)
+    for i in range(3):
+        skip = skips[2 - i]
+        h = jnp.concatenate([h, skip], axis=-1)
+        w, b = _wb(params[f"up_{i}_convt"])
+        h = sp.spatial_conv_transpose2d(h, w, b, axis_name)
+        h = tnn.relu(sp.spatial_instance_norm(h, axis_name=axis_name))
+    w, b = _wb(params["output_layer"]["conv"])
+    h = sp.spatial_conv2d(h, w, b, 1, 3, "reflect", axis_name)
+    return tnn.tanh(h)
+
+
+def unet_msrb_sharded_apply(params: Dict[str, Any], x: jnp.ndarray, mesh: Mesh,
+                            n_residual_blocks: int = 3,
+                            axis_name: str = sp.SPATIAL_AXIS) -> jnp.ndarray:
+    n_shards = mesh.shape[axis_name]
+    assert x.shape[1] % (n_shards * 8) == 0
+    fn = shard_map(
+        lambda p, s: unet_msrb_slab_forward(p, s, n_residual_blocks, axis_name),
+        mesh=mesh,
+        in_specs=(P(), P(None, axis_name, None, None)),
+        out_specs=P(None, axis_name, None, None),
+        check_vma=False,
+    )
+    return fn(params, x)

@@ -167,3 +167,16 @@ def test_sharded_local_enhancer_matches_single_device(rng, mesh):
                                        n_blocks_local=1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_sharded_unet_msrb_matches_single_device(rng, mesh):
+    from cistar_tpu.models.pix2pixhd import UNetGeneratorHD
+    from cistar_tpu.parallel.spatial_models import unet_msrb_sharded_apply
+
+    model = UNetGeneratorHD(output_nc=1, n_residual_blocks=2, in_features=4)
+    x = jnp.asarray(rng.randn(1, 64, 32, 1).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    ref = model.apply({"params": params}, x)
+    out = unet_msrb_sharded_apply(params, x, mesh, n_residual_blocks=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
