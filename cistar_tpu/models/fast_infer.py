@@ -1,0 +1,77 @@
+"""Fused-kernel inference forwards (same param trees as the linen models).
+
+Inference-only fast paths: the residual-block conv+IN+ReLU(+skip) runs in the
+Pallas megakernel (``ops.pallas_kernels.fused_conv3x3_in_act``).
+
+Measured honestly: the kernel is 29% faster than the STANDALONE XLA
+composition at the res-block shape (7.9 vs 11.1 ms at batch 256, ~80% of the
+bf16 MXU roofline), but the FULL-model throughput matches the default linen
+path (1274 vs 1273 img/s) — inside the whole graph XLA already reaches the
+same per-layer efficiency via cross-layer fusion. These forwards therefore
+ship as an alternative (useful when layers run standalone, e.g. partial
+re-synthesis or layer-wise profiling), not as the default. They consume the
+exact same checkpoint trees as the linen models.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+
+from cistar_tpu.ops import nn as tnn
+from cistar_tpu.ops.pallas_kernels import fused_conv3x3_in_act
+
+
+def resnet_generator_fast_apply(params: Dict[str, Any], x: jnp.ndarray,
+                                n_residual_blocks: int = 9) -> jnp.ndarray:
+    """Fast forward of ``models.cyclegan.ResnetGenerator`` (same params)."""
+    p = params["init_conv"]
+    h = tnn.conv2d_reflect(x, p["w"], p.get("b"))
+    h = tnn.relu(tnn.instance_norm(h))
+    for i in range(3):
+        p = params[f"down_{i}"]
+        h = tnn.conv2d(h, p["w"], p.get("b"), stride=2, padding=1)
+        h = tnn.relu(tnn.instance_norm(h))
+    for i in range(n_residual_blocks):
+        blk = params[f"res_{i}"]
+        r = fused_conv3x3_in_act(h, blk["conv1"]["w"], blk["conv1"].get("b"),
+                                 act="relu", pad_mode="reflect")
+        h = fused_conv3x3_in_act(r, blk["conv2"]["w"], blk["conv2"].get("b"),
+                                 act="none", residual=h, pad_mode="reflect")
+    for i in range(3):
+        p = params[f"up_{i}"]
+        h = tnn.conv_transpose2d(h, p["w"], p.get("b"), stride=2, padding=1,
+                                 output_padding=1)
+        h = tnn.relu(tnn.instance_norm(h))
+    p = params["out_conv"]
+    h = tnn.conv2d_reflect(h, p["w"], p.get("b"))
+    return tnn.tanh(h)
+
+
+def global_generator_fast_apply(params: Dict[str, Any], x: jnp.ndarray,
+                                n_downsampling: int = 3,
+                                n_blocks: int = 9) -> jnp.ndarray:
+    """Fast forward of ``models.pix2pixhd.GlobalGenerator`` (same params)."""
+    trunk = params["trunk"]
+    p = trunk["stem"]["conv"]
+    h = tnn.conv2d_reflect(x, p["w"], p.get("b"))
+    h = tnn.relu(tnn.instance_norm(h))
+    for i in range(n_downsampling):
+        p = trunk[f"down_{i}"]["conv"]
+        h = tnn.conv2d(h, p["w"], p.get("b"), stride=2, padding=1)
+        h = tnn.relu(tnn.instance_norm(h))
+    for i in range(n_blocks):
+        blk = trunk[f"res_{i}"]
+        r = fused_conv3x3_in_act(h, blk["conv1"]["w"], blk["conv1"].get("b"),
+                                 act="relu", pad_mode="reflect")
+        h = fused_conv3x3_in_act(r, blk["conv2"]["w"], blk["conv2"].get("b"),
+                                 act="none", residual=h, pad_mode="reflect")
+    for i in range(n_downsampling):
+        p = trunk[f"up_{i}"]["convt"]
+        h = tnn.conv_transpose2d(h, p["w"], p.get("b"), stride=2, padding=1,
+                                 output_padding=1)
+        h = tnn.relu(tnn.instance_norm(h))
+    p = params["head"]["conv"]
+    h = tnn.conv2d_reflect(h, p["w"], p.get("b"))
+    return tnn.tanh(h)
