@@ -141,3 +141,27 @@ def test_ist_single_target_variants(rng):
 
     sal = eng.saliency(content, ("relu1_1",), (1.0,))
     assert sal.shape == content.shape
+
+
+def test_fast_infer_matches_linen(rng):
+    """Fused-path forwards consume the linen param trees and match outputs
+    (CPU falls back to the XLA composition — validates the API contract)."""
+    from cistar_tpu.models.cyclegan import ResnetGenerator
+    from cistar_tpu.models.fast_infer import resnet_generator_fast_apply
+    from cistar_tpu.models.pix2pixhd import GlobalGenerator
+    from cistar_tpu.models.fast_infer import global_generator_fast_apply
+
+    m = ResnetGenerator(output_nc=1, n_residual_blocks=2, in_features=8)
+    x = jnp.asarray(rng.randn(1, 32, 32, 1).astype(np.float32))
+    p = m.init(jax.random.PRNGKey(0), x)["params"]
+    ref = m.apply({"params": p}, x)
+    out = resnet_generator_fast_apply(p, x, n_residual_blocks=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
+
+    g = GlobalGenerator(output_nc=1, ngf=8, n_downsampling=2, n_blocks=2)
+    pg = g.init(jax.random.PRNGKey(1), x)["params"]
+    ref2 = g.apply({"params": pg}, x)
+    out2 = global_generator_fast_apply(pg, x, n_downsampling=2, n_blocks=2)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=1e-4,
+                               atol=1e-4)
