@@ -3,11 +3,15 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Primary metric: CycleGAN 256² radar→lidar inference throughput on a single
-chip (9-block ResNet generator, the BASELINE.json throughput config). The
-north-star target is ≥10,000 img/s on a v5e-8, i.e. 1,250 img/s/chip;
-``vs_baseline`` is measured-throughput / per-chip-target.
+chip (9-block ResNet generator, the BASELINE.json throughput config), run
+through the int8 MXU inference engine (``ops/quant_pallas.py`` — the
+reference's own fast-inference tier is TensorRT int8,
+``p2pHD/run_engine.py:160-165``). The bf16 path's throughput is reported in
+the same line as ``bf16_img_s`` for transparency. North-star target is
+≥10,000 img/s on a v5e-8, i.e. 1,250 img/s/chip; ``vs_baseline`` is
+measured-throughput / per-chip-target.
 
-Run: python bench.py  [--batch N] [--iters N] [--size 256]
+Run: python bench.py  [--batch N] [--iters N] [--size 256] [--engine int8|bf16]
 """
 
 from __future__ import annotations
@@ -26,6 +30,7 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--blocks", type=int, default=9)
     p.add_argument("--features", type=int, default=64)
+    p.add_argument("--engine", choices=["int8", "bf16"], default="int8")
     args = p.parse_args(argv)
 
     import jax
@@ -33,45 +38,64 @@ def main(argv=None):
     import numpy as np
 
     from cistar_tpu.models.cyclegan import ResnetGenerator
+    from cistar_tpu.models.fast_infer import resnet_generator_int8_trunk_apply
+    from cistar_tpu.ops.quant_pallas import quantize_resnet_trunk
 
     model = ResnetGenerator(output_nc=1, n_residual_blocks=args.blocks,
                             in_features=args.features)
     rng = np.random.RandomState(0)
     x_init = jnp.zeros((1, args.size, args.size, 1), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x_init)["params"]
+    qblocks = quantize_resnet_trunk(params, args.blocks)
 
     @jax.jit
-    def infer(params, batch):
+    def infer_bf16(params, batch):
         # fp32 in/out signature so chained calls reuse one executable
         return model.apply({"params": params},
                            batch.astype(jnp.bfloat16)).astype(jnp.float32)
 
+    @jax.jit
+    def infer_int8(params, qblocks, batch):
+        return resnet_generator_int8_trunk_apply(
+            params, qblocks, batch.astype(jnp.bfloat16),
+            args.blocks).astype(jnp.float32)
+
     batch = jnp.asarray(rng.rand(args.batch, args.size, args.size, 1)
                         .astype(np.float32) * 2 - 1)
+
     # NOTE on timing: on the axon-tunneled TPU backend, block_until_ready
     # returns before execution finishes — only a host fetch synchronizes.
     # We chain calls (output feeds the next input, same dtype signature) and
     # force one tiny scalar fetch at the end, so the measured window contains
     # exactly N back-to-back device executions and a single RTT.
-    x = infer(params, batch)
-    float(jnp.sum(x))  # compile + sync
-    for _ in range(args.warmup):
-        x = infer(params, x)
-    float(jnp.sum(x))
+    def measure(f, *extra):
+        x = f(*extra, batch)
+        float(jnp.sum(x))  # compile + sync
+        for _ in range(args.warmup):
+            x = f(*extra, x)
+        float(jnp.sum(x))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            x = f(*extra, x)
+        float(jnp.sum(x))  # forces completion of the whole chain
+        return args.batch * args.iters / (time.perf_counter() - t0)
 
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        x = infer(params, x)
-    float(jnp.sum(x))  # forces completion of the whole chain
-    dt = time.perf_counter() - t0
+    bf16_img_s = measure(infer_bf16, params)
+    if args.engine == "int8":
+        images_per_sec = measure(infer_int8, params, qblocks)
+        metric = (f"cyclegan_resnet{args.blocks}_{args.size}sq_"
+                  "int8_infer_throughput")
+    else:
+        images_per_sec = bf16_img_s
+        metric = f"cyclegan_resnet{args.blocks}_{args.size}sq_infer_throughput"
 
-    images_per_sec = args.batch * args.iters / dt
     per_chip_target = 10000.0 / 8.0  # v5e-8 north star, per chip
     result = {
-        "metric": f"cyclegan_resnet{args.blocks}_{args.size}sq_infer_throughput",
+        "metric": metric,
         "value": round(images_per_sec, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / per_chip_target, 3),
+        "bf16_img_s": round(bf16_img_s, 1),
     }
     print(json.dumps(result))
     return result

@@ -1,0 +1,355 @@
+"""Int8 MXU megakernels — the TensorRT-int8 inference tier, TPU-native.
+
+The reference ships int8 TensorRT engines as its fast inference path
+(``p2pHD/run_engine.py:160-165``, ``p2pHD/test.py:45-48``). On TPU v5e the
+MXU runs int8×int8→int32 at ~1.7× the measured bf16 rate (290 vs 169 TOPS
+in the 9-tap res-block matmul microbenchmark), but XLA does not lower int8
+*convolutions* onto that path — which is why the plain ``ops.quant`` int8
+convs run at parity speed. These Pallas kernels express the convs as shifted
+int8 matmuls so the native int8 MXU rate actually surfaces.
+
+Design (per CycleGAN/pix2pixHD residual block, ``CycleGAN/models.py:7-22``):
+one kernel per res block computes
+
+    conv3x3(reflect) → IN → ReLU → quantize → conv3x3(reflect) → IN → +skip
+
+with the whole per-image activation resident in VMEM. Activations flow
+between blocks as ``(int8 values, per-image fp32 scale)`` — dynamic symmetric
+per-tensor quantization recomputed inside the kernel after every
+normalization (activations are well-conditioned post-IN). HBM traffic per
+hop is the int8 tensor only; the fp32 intermediate never leaves the chip.
+
+Weights are static per-output-channel symmetric int8 (see
+:func:`quantize_resblock`). Instance-norm statistics and the residual add
+are computed in fp32 on the dequantized accumulator, so the only losses vs
+the bf16 path are the two activation round-trips through int8 per block —
+measured end-to-end at the LPIPS-style fidelity recorded in STATUS.md.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-5
+
+
+# --------------------------------------------------------------------------- #
+# Weight quantization
+# --------------------------------------------------------------------------- #
+def _quantize_kernel_taps(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """HWIO (3,3,Cin,Cout) → ((9,Cin,Cout) int8, (Cout,) fp32 scale)."""
+    w = jnp.asarray(w, jnp.float32)
+    absmax = jnp.max(jnp.abs(w), axis=(0, 1, 2))
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    k2 = w.shape[0] * w.shape[1]
+    return wq.reshape(k2, w.shape[2], w.shape[3]), scale
+
+
+def quantize_resblock(blk: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+    """Quantize one ResidualBlock param subtree (conv1/conv2 with w,b)."""
+    w1q, s1 = _quantize_kernel_taps(blk["conv1"]["w"])
+    w2q, s2 = _quantize_kernel_taps(blk["conv2"]["w"])
+    cout = w1q.shape[-1]
+    b1 = jnp.asarray(blk["conv1"].get("b", jnp.zeros(cout)), jnp.float32)
+    b2 = jnp.asarray(blk["conv2"].get("b", jnp.zeros(cout)), jnp.float32)
+    # rows: [w1_scale, b1, w2_scale, b2]
+    sb = jnp.stack([s1, b1, s2, b2], axis=0)
+    return {"w1q": w1q, "w2q": w2q, "sb": sb}
+
+
+def quantize_act(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-image symmetric int8: (B,H,W,C) → ((B,H,W,C) int8, (B,1) scale)."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2, 3))
+    scale = jnp.maximum(absmax, 1e-6) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[:, None, None, None]),
+                  -127, 127).astype(jnp.int8)
+    return xq, scale[:, None]
+
+
+# --------------------------------------------------------------------------- #
+# The fused int8 res-block kernel
+# --------------------------------------------------------------------------- #
+def _reflect_pad1(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """pad=1 reflection of an (h, w, c) array via concats (no `rev` on TPU)."""
+    top, bot = x[1:2], x[h - 2:h - 1]
+    xph = jnp.concatenate([top, x, bot], axis=0)
+    left, right = xph[:, 1:2], xph[:, w - 2:w - 1]
+    return jnp.concatenate([left, xph, right], axis=1)
+
+
+def _conv9_int8(xp: jnp.ndarray, w_ref, h: int, w: int, cin: int,
+                cout: int) -> jnp.ndarray:
+    """9 shifted (h·w, cin)×(cin, cout) int8 MXU matmuls → int32 (h·w, cout)."""
+    hw = h * w
+    acc = jnp.zeros((hw, cout), jnp.int32)
+    k = 0
+    for dy in range(3):
+        for dx in range(3):
+            patch = xp[dy:dy + h, dx:dx + w, :].reshape(hw, cin)
+            acc = acc + jnp.dot(patch, w_ref[k],
+                                preferred_element_type=jnp.int32)
+            k += 1
+    return acc
+
+
+def _inorm(f: jnp.ndarray, hw: int, eps: float) -> jnp.ndarray:
+    mean = jnp.sum(f, axis=0, keepdims=True) / hw
+    msq = jnp.sum(f * f, axis=0, keepdims=True) / hw
+    var = jnp.maximum(msq - mean * mean, 0.0)
+    return (f - mean) * jax.lax.rsqrt(var + eps)
+
+
+def _resblock_int8_kernel(hq_ref, hs_ref, w1_ref, w2_ref, sb_ref,
+                          outq_ref, outs_ref, *, h: int, w: int, c: int,
+                          eps: float):
+    hw = h * w
+    x_scale = hs_ref[0, 0, 0]
+    hq = hq_ref[0]                                     # (h, w, c) int8
+    xp = _reflect_pad1(hq, h, w)
+    f = _conv9_int8(xp, w1_ref, h, w, c, c).astype(jnp.float32)
+    f = f * (x_scale * sb_ref[0][None, :]) + sb_ref[1][None, :]
+    r = jnp.maximum(_inorm(f, hw, eps), 0.0)           # IN + ReLU
+    # re-quantize the intermediate (post-IN activations are well-bounded)
+    rmax = jnp.maximum(jnp.max(jnp.abs(r)), 1e-6)
+    rq = jnp.clip(jnp.round(r * (127.0 / rmax)), -127, 127) \
+        .astype(jnp.int8).reshape(h, w, c)
+    rp = _reflect_pad1(rq, h, w)
+    f2 = _conv9_int8(rp, w2_ref, h, w, c, c).astype(jnp.float32)
+    f2 = f2 * ((rmax / 127.0) * sb_ref[2][None, :]) + sb_ref[3][None, :]
+    hnew = _inorm(f2, hw, eps) \
+        + hq.reshape(hw, c).astype(jnp.float32) * x_scale  # +skip
+    omax = jnp.maximum(jnp.max(jnp.abs(hnew)), 1e-6)
+    outs_ref[0, 0, 0] = omax / 127.0
+    outq_ref[0] = jnp.clip(jnp.round(hnew * (127.0 / omax)), -127, 127) \
+        .astype(jnp.int8).reshape(h, w, c)
+
+
+def _run_resblock_int8(hq: jnp.ndarray, hs: jnp.ndarray,
+                       qblk: Dict[str, jnp.ndarray], eps: float = _EPS,
+                       interpret: bool = False):
+    n, h, w, c = hq.shape
+    kernel = functools.partial(_resblock_int8_kernel, h=h, w=w, c=c, eps=eps)
+    a_spec = pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    s_in = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                        memory_space=pltpu.SMEM)
+    w_spec = pl.BlockSpec((9, c, c), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    sb_spec = pl.BlockSpec((4, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    outq, outs = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[a_spec, s_in, w_spec, w_spec, sb_spec],
+        out_specs=(a_spec, s_in),
+        out_shape=(jax.ShapeDtypeStruct((n, h, w, c), jnp.int8),
+                   jax.ShapeDtypeStruct((n, 1, 1), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w * 9 * c * c * 2,
+            bytes_accessed=2 * n * h * w * c + 2 * 9 * c * c,
+            transcendentals=0),
+        interpret=interpret,
+    )(hq, hs.reshape(n, 1, 1), qblk["w1q"], qblk["w2q"], qblk["sb"])
+    return outq, outs.reshape(n, 1)
+
+
+# --------------------------------------------------------------------------- #
+# bf16-carrier variant: skip path stays full precision, conv inputs are
+# quantized in-kernel (VMEM-resident absmax) — no cross-block error build-up.
+# --------------------------------------------------------------------------- #
+def _quant_vmem(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """fp32 (m, c) → (int8 (m, c), scalar scale); runs on VPU over VMEM data."""
+    amax = jnp.maximum(jnp.max(jnp.abs(x)), 1e-6)
+    xq = jnp.clip(jnp.round(x * (127.0 / amax)), -127, 127).astype(jnp.int8)
+    return xq, amax / 127.0
+
+
+def _resblock_int8_bf16io_kernel(h_ref, w1_ref, w2_ref, sb_ref, out_ref, *,
+                                 h: int, w: int, c: int, eps: float):
+    hw = h * w
+    hf = h_ref[0].astype(jnp.float32)                  # (h, w, c)
+    hq2d, x_scale = _quant_vmem(hf.reshape(hw, c))
+    xp = _reflect_pad1(hq2d.reshape(h, w, c), h, w)
+    f = _conv9_int8(xp, w1_ref, h, w, c, c).astype(jnp.float32)
+    f = f * (x_scale * sb_ref[0][None, :]) + sb_ref[1][None, :]
+    r = jnp.maximum(_inorm(f, hw, eps), 0.0)
+    rq, r_scale = _quant_vmem(r)
+    rp = _reflect_pad1(rq.reshape(h, w, c), h, w)
+    f2 = _conv9_int8(rp, w2_ref, h, w, c, c).astype(jnp.float32)
+    f2 = f2 * (r_scale * sb_ref[2][None, :]) + sb_ref[3][None, :]
+    hnew = _inorm(f2, hw, eps) + hf.reshape(hw, c)     # full-precision skip
+    out_ref[0] = hnew.reshape(h, w, c).astype(out_ref.dtype)
+
+
+def _run_resblock_int8_bf16io(hx: jnp.ndarray, qblk: Dict[str, jnp.ndarray],
+                              eps: float = _EPS, interpret: bool = False):
+    n, h, w, c = hx.shape
+    kernel = functools.partial(_resblock_int8_bf16io_kernel, h=h, w=w, c=c,
+                               eps=eps)
+    a_spec = pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((9, c, c), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    sb_spec = pl.BlockSpec((4, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[a_spec, w_spec, w_spec, sb_spec],
+        out_specs=a_spec,
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c), hx.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w * 9 * c * c * 2,
+            bytes_accessed=2 * n * h * w * c * hx.dtype.itemsize
+            + 2 * 9 * c * c,
+            transcendentals=0),
+        interpret=interpret,
+    )(hx, qblk["w1q"], qblk["w2q"], qblk["sb"])
+
+
+def _resblock_int8_bf16io_emulate(hx, qblk, eps=_EPS):
+    n, h, w, c = hx.shape
+    hw = h * w
+
+    def conv9(xq, wq):
+        xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        acc = jnp.zeros((n, hw, c), jnp.int32)
+        k = 0
+        for dy in range(3):
+            for dx in range(3):
+                patch = xp[:, dy:dy + h, dx:dx + w, :].reshape(n, hw, c)
+                acc = acc + jnp.einsum("npi,io->npo", patch.astype(jnp.int32),
+                                       wq[k].astype(jnp.int32))
+                k += 1
+        return acc
+
+    def inorm(f):
+        mean = jnp.mean(f, axis=1, keepdims=True)
+        var = jnp.maximum(jnp.mean(f * f, axis=1, keepdims=True)
+                          - mean * mean, 0.0)
+        return (f - mean) * jax.lax.rsqrt(var + eps)
+
+    def quant(x):                                       # (n, hw, c)
+        amax = jnp.maximum(jnp.max(jnp.abs(x), axis=(1, 2), keepdims=True),
+                           1e-6)
+        xq = jnp.clip(jnp.round(x * (127.0 / amax)), -127, 127) \
+            .astype(jnp.int8)
+        return xq, amax / 127.0
+
+    sb = qblk["sb"]
+    hf = hx.astype(jnp.float32).reshape(n, hw, c)
+    hq, x_scale = quant(hf)
+    f = conv9(hq.reshape(n, h, w, c), qblk["w1q"]).astype(jnp.float32)
+    f = f * (x_scale * sb[0][None, None, :]) + sb[1][None, None, :]
+    r = jnp.maximum(inorm(f), 0.0)
+    rq, r_scale = quant(r)
+    f2 = conv9(rq.reshape(n, h, w, c), qblk["w2q"]).astype(jnp.float32)
+    f2 = f2 * (r_scale * sb[2][None, None, :]) + sb[3][None, None, :]
+    return (inorm(f2) + hf).reshape(n, h, w, c).astype(hx.dtype)
+
+
+def resblock_chain_int8_bf16io(x: jnp.ndarray,
+                               qblocks: Sequence[Dict[str, Any]],
+                               eps: float = _EPS, interpret: bool = False,
+                               force_emulate: bool = False) -> jnp.ndarray:
+    """Res-block chain with int8 MXU convs and a full-precision carrier.
+
+    Preferred over :func:`resblock_chain_int8` for fidelity: only the conv
+    *inputs* are quantized (inside the kernel); the residual stream is never
+    rounded through int8, so errors do not accumulate across blocks.
+    """
+    n, h, w, c = x.shape
+    vmem_need = (h * w * c) * (2 + 1 + 4 + 4 + 1 + 2) + 2 * 9 * c * c + 16 * c
+    use_kernel = (interpret or _on_tpu()) and not force_emulate \
+        and vmem_need <= 13 * 1024 * 1024 and h >= 3 and w >= 3
+    hx = x
+    for qblk in qblocks:
+        if use_kernel:
+            hx = _run_resblock_int8_bf16io(hx, qblk, eps, interpret)
+        else:
+            hx = _resblock_int8_bf16io_emulate(hx, qblk, eps)
+    return hx
+
+
+# --------------------------------------------------------------------------- #
+# Emulation fallback (CPU / oversized blocks): identical int8 math via XLA
+# --------------------------------------------------------------------------- #
+def _resblock_int8_emulate(hq, hs, qblk, eps=_EPS):
+    n, h, w, c = hq.shape
+    hw = h * w
+
+    def conv9(xq, wq):
+        xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        acc = jnp.zeros((n, hw, c), jnp.int32)
+        k = 0
+        for dy in range(3):
+            for dx in range(3):
+                patch = xp[:, dy:dy + h, dx:dx + w, :].reshape(n, hw, c)
+                acc = acc + jnp.einsum("npi,io->npo", patch.astype(jnp.int32),
+                                       wq[k].astype(jnp.int32))
+                k += 1
+        return acc
+
+    def inorm(f):
+        mean = jnp.mean(f, axis=1, keepdims=True)
+        var = jnp.maximum(jnp.mean(f * f, axis=1, keepdims=True)
+                          - mean * mean, 0.0)
+        return (f - mean) * jax.lax.rsqrt(var + eps)
+
+    sb = qblk["sb"]
+    x_scale = hs[:, :, None]                                   # (n,1,1)
+    f = conv9(hq, qblk["w1q"]).astype(jnp.float32)
+    f = f * (x_scale * sb[0][None, None, :]) + sb[1][None, None, :]
+    r = jnp.maximum(inorm(f), 0.0)
+    rmax = jnp.maximum(jnp.max(jnp.abs(r), axis=(1, 2), keepdims=True), 1e-6)
+    rq = jnp.clip(jnp.round(r * (127.0 / rmax)), -127, 127) \
+        .astype(jnp.int8).reshape(n, h, w, c)
+    f2 = conv9(rq, qblk["w2q"]).astype(jnp.float32)
+    f2 = f2 * ((rmax / 127.0) * sb[2][None, None, :]) + sb[3][None, None, :]
+    hnew = inorm(f2) + hq.reshape(n, hw, c).astype(jnp.float32) * x_scale
+    omax = jnp.maximum(jnp.max(jnp.abs(hnew), axis=(1, 2), keepdims=True),
+                       1e-6)                                   # (n,1,1)
+    out_s = (omax / 127.0).reshape(n, 1)
+    outq = jnp.clip(jnp.round(hnew * (127.0 / omax)), -127, 127) \
+        .astype(jnp.int8).reshape(n, h, w, c)
+    return outq, out_s
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def resblock_chain_int8(x: jnp.ndarray, qblocks: Sequence[Dict[str, Any]],
+                        eps: float = _EPS, interpret: bool = False,
+                        force_emulate: bool = False) -> jnp.ndarray:
+    """Run a chain of residual blocks through the int8 megakernel.
+
+    ``x`` is the float trunk activation (B,H,W,C); returns the float output
+    after all blocks. Activation stays int8 between blocks (HBM traffic /2).
+    """
+    n, h, w, c = x.shape
+    vmem_need = (h * w * c) * (1 + 1 + 4 + 4 + 1) + 2 * 9 * c * c + 8 * c
+    use_kernel = (interpret or _on_tpu()) and not force_emulate \
+        and vmem_need <= 13 * 1024 * 1024 and h >= 3 and w >= 3
+    hq, hs = quantize_act(x)
+    for qblk in qblocks:
+        if use_kernel:
+            hq, hs = _run_resblock_int8(hq, hs, qblk, eps, interpret)
+        else:
+            hq, hs = _resblock_int8_emulate(hq, hs, qblk, eps)
+    return (hq.astype(jnp.float32)
+            * hs[:, :, None, None]).astype(x.dtype)
+
+
+def quantize_resnet_trunk(params: Dict[str, Any],
+                          n_blocks: int) -> List[Dict[str, jnp.ndarray]]:
+    """Quantize the ``res_i`` blocks of a ResnetGenerator param tree."""
+    return [quantize_resblock(params[f"res_{i}"]) for i in range(n_blocks)]

@@ -1,0 +1,126 @@
+"""Int8 MXU megakernel (ops/quant_pallas.py): kernel ≡ emulation, fidelity.
+
+The Pallas kernels are validated in interpreter mode on CPU against the pure
+XLA emulation (same int8 math), and the emulated chain is checked against the
+fp32 res-block reference within a quantization-noise tolerance. On-chip
+speed/fidelity numbers are recorded in STATUS.md (TRT-int8-role path,
+ref ``p2pHD/run_engine.py:160-165``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cistar_tpu.ops import nn as tnn
+from cistar_tpu.ops.quant_pallas import (
+    _resblock_int8_bf16io_emulate,
+    _resblock_int8_emulate,
+    _run_resblock_int8,
+    _run_resblock_int8_bf16io,
+    quantize_act,
+    quantize_resblock,
+    quantize_resnet_trunk,
+    resblock_chain_int8,
+    resblock_chain_int8_bf16io,
+)
+
+N, H, W, C = 2, 16, 16, 128
+
+
+def _mkblk(seed):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    return {
+        "conv1": {"w": 0.05 * jax.random.normal(k1, (3, 3, C, C)),
+                  "b": jnp.zeros(C)},
+        "conv2": {"w": 0.05 * jax.random.normal(k2, (3, 3, C, C)),
+                  "b": jnp.zeros(C)},
+    }
+
+
+def _ref_block(x, blk):
+    r = tnn.conv2d_reflect(x, blk["conv1"]["w"], blk["conv1"]["b"])
+    r = tnn.relu(tnn.instance_norm(r))
+    r = tnn.conv2d_reflect(r, blk["conv2"]["w"], blk["conv2"]["b"])
+    return x + tnn.instance_norm(r)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(N, H, W, C).astype(np.float32))
+    blks = [_mkblk(i) for i in range(2)]
+    qblks = [quantize_resblock(b) for b in blks]
+    return x, blks, qblks
+
+
+def test_int8_kernel_matches_emulation(data):
+    x, _, qblks = data
+    hq, hs = quantize_act(x)
+    kq, ks = _run_resblock_int8(hq, hs, qblks[0], interpret=True)
+    eq, es = _resblock_int8_emulate(hq, hs, qblks[0])
+    assert bool(jnp.all(kq == eq))
+    np.testing.assert_allclose(np.asarray(ks), np.asarray(es), rtol=1e-6)
+
+
+def test_int8_bf16io_kernel_matches_emulation(data):
+    x, _, qblks = data
+    ky = _run_resblock_int8_bf16io(x, qblks[0], interpret=True)
+    ey = _resblock_int8_bf16io_emulate(x, qblks[0])
+    np.testing.assert_allclose(np.asarray(ky), np.asarray(ey),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("chain,kw", [
+    (resblock_chain_int8, {}),
+    (resblock_chain_int8_bf16io, {}),
+])
+def test_int8_chain_close_to_fp32(data, chain, kw):
+    x, blks, qblks = data
+    y_ref = x
+    for b in blks:
+        y_ref = _ref_block(y_ref, b)
+    y_q = chain(x, qblks, force_emulate=True, **kw)
+    err = float(jnp.mean(jnp.abs(y_q - y_ref)))
+    sig = float(jnp.std(y_ref))
+    assert err / sig < 0.05, (err, sig)
+
+
+def test_bf16_carrier_beats_int8_carrier(data):
+    """The full-precision skip path must not accumulate quantization error."""
+    x, blks, qblks = data
+    y_ref = x
+    for b in blks:
+        y_ref = _ref_block(y_ref, b)
+    e_int8 = float(jnp.mean(jnp.abs(
+        resblock_chain_int8(x, qblks, force_emulate=True) - y_ref)))
+    e_bf16 = float(jnp.mean(jnp.abs(
+        resblock_chain_int8_bf16io(x, qblks, force_emulate=True) - y_ref)))
+    assert e_bf16 <= e_int8 * 1.2, (e_bf16, e_int8)
+
+
+def test_quantize_resnet_trunk_shapes():
+    from cistar_tpu.models.cyclegan import ResnetGenerator
+
+    model = ResnetGenerator(output_nc=1, n_residual_blocks=2, in_features=8)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 32, 1)))["params"]
+    q = quantize_resnet_trunk(params, 2)
+    assert len(q) == 2
+    assert q[0]["w1q"].shape == (9, 64, 64) and q[0]["w1q"].dtype == jnp.int8
+    assert q[0]["sb"].shape == (4, 64)
+
+
+def test_int8_trunk_apply_runs():
+    from cistar_tpu.models.cyclegan import ResnetGenerator
+    from cistar_tpu.models.fast_infer import resnet_generator_int8_trunk_apply
+
+    model = ResnetGenerator(output_nc=1, n_residual_blocks=2, in_features=8)
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 32, 32, 1)
+                    .astype(np.float32) * 2 - 1)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    q = quantize_resnet_trunk(params, 2)
+    y_ref = model.apply({"params": params}, x)
+    y_q = resnet_generator_int8_trunk_apply(params, q, x, 2)
+    assert y_q.shape == y_ref.shape
+    assert float(jnp.max(jnp.abs(y_q - y_ref))) < 0.3
