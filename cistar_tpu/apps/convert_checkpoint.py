@@ -24,6 +24,8 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--family", required=True,
                    choices=["cyclegan-g", "cyclegan-d", "p2phd-g", "p2phd-d",
+                            "p2phd-wd", "uda-encoder", "uda-decoder",
+                            "uda-domain-d",
                             "vgg19-conv", "vgg19-features", "vgg16-features"])
     p.add_argument("--in_pth", required=True)
     p.add_argument("--out", required=True)
@@ -60,6 +62,21 @@ def main(argv=None):
             n_blocks_global=args.n_blocks_global,
             n_local_enhancers=args.n_local_enhancers,
             n_blocks_local=args.n_blocks_local)
+        if isinstance(params, tuple):  # BN families → (params, batch_stats)
+            params = {"params": params[0], "batch_stats": params[1]}
+    elif args.family == "p2phd-wd":
+        params = cm.convert_wdiscriminator(sd, args.n_layers_D + 2)
+    elif args.family == "uda-encoder":
+        p, s = cm.convert_uda_encoder(sd, args.n_downsample_global,
+                                      args.n_blocks_global)
+        params = {"params": p, "batch_stats": s}
+    elif args.family == "uda-decoder":
+        p, s = cm.convert_uda_decoder(sd, args.n_downsample_global,
+                                      args.n_blocks_global)
+        params = {"params": p, "batch_stats": s}
+    elif args.family == "uda-domain-d":
+        p, s = cm.convert_domain_feature_discriminator(sd)
+        params = {"params": p, "batch_stats": s}
     elif args.family == "p2phd-d":
         params = cm.convert_multiscale_discriminator(
             sd, args.num_D, args.n_layers_D, args.getIntermFeat)

@@ -73,21 +73,44 @@ def main(argv=None):
     else:
         infer = lambda label: engine.infer_step(g_params, label)
 
-    dataset = Radar2LidarDataset(opt.dataroot, size=size, mode="test")
+    if opt.r2l:
+        dataset = Radar2LidarDataset(opt.dataroot, size=size, mode="test")
+    else:
+        # semantic/aligned mode (reference dispatch:
+        # custom_dataset_data_loader.py:5-19)
+        from cistar_tpu.data.aligned import AlignedDataset
+
+        dataset = AlignedDataset(opt)
     loader = Loader(dataset, 1)
     for i, batch in enumerate(loader):
         if i >= opt.how_many:
             break
         label = jnp.asarray(batch["label"])
-        fake = np.asarray(infer(label))
+        inst = (jnp.asarray(batch["inst"]) if batch["inst"].ndim == 4
+                else None)
+        fake = (np.asarray(infer(label)) if inst is None
+                else np.asarray(engine.infer_step(g_params, label, inst)))
         name = os.path.splitext(os.path.basename(batch["path"][0]))[0]
         ims, txts, links = [], [], []
-        for tag, arr in (("input_label", batch["label"][0]),
-                         ("synthesized_image", fake[0]),
-                         ("real_image", batch["image"][0])):
+        tiles = [("input_label", batch["label"][0]),
+                 ("synthesized_image", fake[0])]
+        if batch["image"].ndim == 4:  # real image present (r2l / encoded mode)
+            tiles.append(("real_image", batch["image"][0]))
+        for tag, arr in tiles:
             fn = f"{name}_{tag}.png"
-            array_to_pil(np.clip(denormalize(np.asarray(arr)), 0, 1)).save(
-                os.path.join(gallery.img_dir, fn))
+            if tag == "input_label" and opt.label_nc > 0:
+                # semantic mode: colorize the label map like the reference
+                # gallery (util/util.py:27-35 tensor2label)
+                from PIL import Image
+
+                from cistar_tpu.utils.label_viz import tensor2label
+
+                Image.fromarray(tensor2label(np.asarray(arr),
+                                             opt.label_nc)).save(
+                    os.path.join(gallery.img_dir, fn))
+            else:
+                array_to_pil(np.clip(denormalize(np.asarray(arr)), 0, 1)).save(
+                    os.path.join(gallery.img_dir, fn))
             ims.append(fn), txts.append(tag), links.append(fn)
         gallery.add_header(f"process image... {name}")
         gallery.add_images(ims, txts, links, width=opt.display_winsize)

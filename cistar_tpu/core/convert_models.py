@@ -224,6 +224,161 @@ def convert_multiscale_discriminator(sd: SD, num_d: int = 2, n_layers: int = 3,
     return params
 
 
+def _set_norm(tree: Dict[str, Any], path: str, w: np.ndarray,
+              b: np.ndarray | None) -> None:
+    """Affine norm params. Our NormLayer stores gamma as offset-from-one."""
+    node = tree
+    for p in path.split("/"):
+        node = node.setdefault(p, {})
+    node["gamma"] = np.asarray(w, np.float32) - 1.0
+    node["beta"] = np.asarray(b if b is not None else np.zeros_like(w),
+                              np.float32)
+
+
+def _convert_with_norms(sd: SD,
+                        prefix_map: Sequence[Tuple[str, Sequence[Tuple[str, Kind]]]]
+                        ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Like :func:`_convert_by_map` but handles affine-norm targets.
+
+    Extra kinds: ``"norm_affine"`` (affine instance norm → gamma/beta) and
+    ``"bn"`` (BatchNorm2d → gamma/beta in params PLUS running mean/var in the
+    returned ``batch_stats`` tree). Within a prefix, torch's numeric key
+    ordering interleaves conv and norm weights in construction order, which
+    must match the target list order.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for prefix, targets in prefix_map:
+        entries = _collect(sd, prefix)
+        if len(entries) != len(targets):
+            raise ValueError(
+                f"prefix {prefix!r}: found {len(entries)} weights "
+                f"({[e[1] for e in entries]}), expected {len(targets)} "
+                f"({[t[0] for t in targets]})")
+        for (_, base), (path, kind) in zip(entries, targets):
+            w = sd[base + ".weight"]
+            b = sd.get(base + ".bias")
+            if kind in ("conv", "convT", "linear"):
+                _set(params, path, w, b, kind)
+            elif kind == "norm_affine":
+                _set_norm(params, path, w, b)
+            elif kind == "bn":
+                _set_norm(params, path, w, b)
+                node = stats
+                for p in path.split("/"):
+                    node = node.setdefault(p, {})
+                node["mean"] = np.asarray(sd[base + ".running_mean"],
+                                          np.float32)
+                node["var"] = np.asarray(sd[base + ".running_var"],
+                                         np.float32)
+            else:
+                raise ValueError(kind)
+    return params, stats
+
+
+def convert_multiscale_global_generator(sd: SD, n_blocks: int = 9
+                                        ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """``MultiscaleGlobalGenerator`` (``networks.py:277-340``) — the shipped
+    ``r2l`` experiment's netG (``checkpoints/r2l/opt.txt:51``). Two reference
+    quirks reproduced: (a) ``b2Feat``/``b3Feat`` alias the SAME layers (we
+    convert ``b2Feat`` into the shared ``feat_stem``); (b) ``define_G`` never
+    passes ``norm_layer``, so this family uses the **BatchNorm default**
+    (``networks.py:40`` vs ``:278``) — returns (params, batch_stats)."""
+    maps: List[Tuple[str, Sequence[Tuple[str, Kind]]]] = [
+        ("b1", [("b1_stem/conv", "conv"), ("b1_stem/norm", "bn"),
+                ("b1_down/conv", "conv"), ("b1_down/norm", "bn")]),
+        ("b2Feat", [("feat_stem/conv", "conv"), ("feat_stem/norm", "bn")]),
+        ("connectB12", [("connect_b12/conv", "conv"),
+                        ("connect_b12/norm", "bn")]),
+        ("connectB23", [("connect_b23/conv", "conv"),
+                        ("connect_b23/norm", "bn")]),
+    ]
+    tail: List[Tuple[str, Kind]] = []
+    for i in range(n_blocks):
+        tail += [(f"res_{i}/conv1", "conv"), (f"res_{i}/norm1", "bn"),
+                 (f"res_{i}/conv2", "conv"), (f"res_{i}/norm2", "bn")]
+    for i in range(3):
+        tail += [(f"up_{i}/convt", "convT"), (f"up_{i}/norm", "bn")]
+    tail += [("head/conv", "conv")]
+    maps.append(("model", tail))
+    return _convert_with_norms(sd, maps)
+
+
+def convert_autoencoder(sd: SD, n_downsampling: int = 3, n_blocks: int = 9
+                        ) -> Dict[str, Any]:
+    """``AutoEncoder`` (``networks.py:227-273``): named init/encoder/resblock/
+    decoder/output stages — the R2LTransfer frozen AEs load this format."""
+    maps: List[Tuple[str, Sequence[Tuple[str, Kind]]]] = [
+        ("init_layer", [("init_layer/conv", "conv")]),
+        ("encoder", [(f"encoder_{i}/conv", "conv")
+                     for i in range(n_downsampling)]),
+    ]
+    res: List[Tuple[str, Kind]] = []
+    for i in range(n_blocks):
+        res += [(f"resblock_{i}/conv1", "conv"), (f"resblock_{i}/conv2", "conv")]
+    maps.append(("resblock", res))
+    maps.append(("decoder", [(f"decoder_{i}/convt", "convT")
+                             for i in range(n_downsampling)]))
+    maps.append(("output_layer", [("output_layer/conv", "conv")]))
+    return _convert_by_map(sd, maps)
+
+
+def convert_p2phd_encoder(sd: SD, n_downsampling: int = 4) -> Dict[str, Any]:
+    """Instance-feature ``Encoder`` (``networks.py:386-422``), netE in
+    ``pix2pixHD_model.py:57-59``."""
+    targets: List[Tuple[str, Kind]] = [("stem/conv", "conv")]
+    targets += [(f"down_{i}/conv", "conv") for i in range(n_downsampling)]
+    targets += [(f"up_{i}/convt", "convT") for i in range(n_downsampling)]
+    targets += [("head/conv", "conv")]
+    return _convert_by_map(sd, [("model", targets)])
+
+
+def convert_wdiscriminator(sd: SD, n_layer: int = 5) -> Dict[str, Any]:
+    """``wDiscriminator`` (``networks.py:742-779``): k4/s2/p1 convs (no bias)
+    with affine instance norms interleaved."""
+    targets: List[Tuple[str, Kind]] = []
+    for i in range(n_layer - 1):
+        targets += [(f"conv_{i}", "conv"), (f"norm_{i}", "norm_affine")]
+    targets += [("conv_out", "conv")]
+    params, _ = _convert_with_norms(sd, [("model", targets)])
+    return params
+
+
+def convert_uda_encoder(sd: SD, down_conv: int = 4, n_resblocks: int = 3
+                        ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """``UDAEncoder`` (``networks.py:783-838``): instance-norm stem, BN down
+    convs, instance-norm resblocks. Returns (params, batch_stats)."""
+    targets: List[Tuple[str, Kind]] = [("stem/conv", "conv")]
+    for i in range(down_conv):
+        targets += [(f"down_{i}_conv", "conv"), (f"down_{i}_bn", "bn")]
+    for i in range(n_resblocks):
+        targets += [(f"res_{i}/conv1", "conv"), (f"res_{i}/conv2", "conv")]
+    return _convert_with_norms(sd, [("model", targets)])
+
+
+def convert_uda_decoder(sd: SD, down_conv: int = 4, n_resblocks: int = 3
+                        ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """``UDADecoder`` (``networks.py:843-898``). Returns (params, batch_stats)."""
+    targets: List[Tuple[str, Kind]] = []
+    for i in range(n_resblocks):
+        targets += [(f"res_{i}/conv1", "conv"), (f"res_{i}/conv2", "conv")]
+    for i in range(down_conv):
+        targets += [(f"up_{i}_convt", "convT"), (f"up_{i}_bn", "bn")]
+    targets += [("head/conv", "conv")]
+    return _convert_with_norms(sd, [("model", targets)])
+
+
+def convert_domain_feature_discriminator(sd: SD
+                                         ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """``DomainFeatureDescriminator`` (``networks.py:905-925``). Returns
+    (params, batch_stats)."""
+    targets: List[Tuple[str, Kind]] = []
+    for i in range(4):
+        targets += [(f"conv_{i}", "conv"), (f"bn_{i}", "bn")]
+    targets += [("conv_out", "conv"), ("bn_out", "bn")]
+    return _convert_with_norms(sd, [("model", targets)])
+
+
 def convert_p2phd_generator(sd: SD, net_g: str, **kw) -> Dict[str, Any]:
     if net_g == "global":
         return convert_global_generator(sd, kw.get("n_downsample_global", 3),
@@ -235,7 +390,29 @@ def convert_p2phd_generator(sd: SD, net_g: str, **kw) -> Dict[str, Any]:
                                       kw.get("n_blocks_local", 3))
     if net_g == "UNet":
         return convert_unet_generator_hd(sd, kw.get("n_blocks_global", 3))
+    if net_g == "multiscale":
+        return convert_multiscale_global_generator(
+            sd, kw.get("n_blocks_global", 9))
+    if net_g == "autoencoder":
+        return convert_autoencoder(sd, kw.get("n_downsample_global", 3),
+                                   kw.get("n_blocks_global", 9))
+    if net_g == "encoder":
+        return convert_p2phd_encoder(sd, kw.get("n_downsample_global", 4))
     raise NotImplementedError(f"converter for netG={net_g!r}")
+
+
+def convert_transfer_generator(sd: SD, n_blocks: int = 9,
+                               n_upsampling: int = 4) -> Dict[str, Any]:
+    """``TransferGenerator`` (``networks.py:692-713``): flat ``model`` of
+    resblocks (instance norm) + transpose ups + c7s1 head — the decoder half
+    that pairs with FeatureEncoder in TransferModel/R2LTransfer
+    (``pix2pixHD_model.py:351,643-649``)."""
+    targets: List[Tuple[str, Kind]] = []
+    for i in range(n_blocks):
+        targets += [(f"res_{i}/conv1", "conv"), (f"res_{i}/conv2", "conv")]
+    targets += [(f"up_{i}/convt", "convT") for i in range(n_upsampling)]
+    targets += [("head/conv", "conv")]
+    return _convert_by_map(sd, [("model", targets)])
 
 
 def convert_feature_encoder(numbered_sd: Dict[str, Dict[str, np.ndarray]],

@@ -309,12 +309,16 @@ class Loader:
             return out
 
         def worker():
+            # An exception in __getitem__/decode must reach the consumer —
+            # swallowing it would silently truncate the epoch (round-1 bug).
             try:
                 for b in batches:
                     if has_batch_api:
                         q.put(to_device(self.ds.get_batch([int(i) for i in b])))
                     else:
                         q.put(to_device(self._collate([self.ds[int(i)] for i in b])))
+            except BaseException as exc:  # noqa: BLE001 — re-raised in consumer
+                q.put(("error", exc))
             finally:
                 q.put(stop)
 
@@ -324,5 +328,7 @@ class Loader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, tuple) and len(item) == 2 and item[0] == "error":
+                raise item[1]
             yield item
         self.epoch += 1

@@ -117,6 +117,27 @@ class R2LTransfer:
                                                        b1=beta1, b2=0.999)
         self.lr = lr
 
+    def frozen_from_checkpoints(self, rng: jax.Array, radar_e=None,
+                                radar_g=None, lidar_g=None, net_dr=None,
+                                net_dl=None,
+                                size: Optional[int] = None) -> Dict[str, Any]:
+        """Assemble the frozen-net dict from converted torch checkpoints.
+
+        Pass param trees from ``convert_feature_encoder`` /
+        ``convert_transfer_generator`` / ``convert_multiscale_discriminator``
+        (the reference loads these pretrained nets in
+        ``pix2pixHD_model.py:660-680``); any omitted net keeps its random
+        init from :meth:`init_frozen`.
+        """
+        frozen = self.init_frozen(rng, size)
+        for key, tree in (("radar_e", radar_e), ("radar_g", radar_g),
+                          ("lidar_g", lidar_g), ("net_dr", net_dr),
+                          ("net_dl", net_dl)):
+            if tree is not None:
+                import jax as _jax
+                frozen[key] = _jax.tree.map(jnp.asarray, tree)
+        return frozen
+
     def init_frozen(self, rng: jax.Array, size: Optional[int] = None) -> Dict[str, Any]:
         """Initialize the frozen nets (replace with converted checkpoints)."""
         size = size or self.image_size
@@ -235,6 +256,7 @@ class R2LAEState(NamedTuple):
     dr: Any
     dl: Any
     opts: Any          # dict of 6 optimizer states
+    stats: Any         # BatchNorm running statistics per BN-bearing net
     rng: jax.Array
     epoch: jnp.ndarray
 
@@ -268,18 +290,23 @@ class R2LAE:
         size = size or self.size
         r = jax.random.split(rng, 7)
         x = jnp.zeros((1, size, size, 1), jnp.float32)
-        e = self.E.init(r[0], x)["params"]
-        feat = self.E.apply({"params": e}, x)
-        g_radar = self.G_radar.init(r[1], feat)["params"]
-        g_lidar = self.G_lidar.init(r[2], feat)["params"]
-        df = self.DF.init(r[3], feat)["params"]
+        ve = self.E.init(r[0], x)
+        e, stats_e = ve["params"], ve.get("batch_stats", {})
+        feat = self.E.apply(ve, x)
+        vgr = self.G_radar.init(r[1], feat)
+        vgl = self.G_lidar.init(r[2], feat)
+        vdf = self.DF.init(r[3], feat)
+        g_radar, g_lidar, df = vgr["params"], vgl["params"], vdf["params"]
         dr = self.DImg.init(r[4], x)["params"]
         dl = self.DImg.init(r[5], x)["params"]
         opts = {k: self.tx.init(v) for k, v in
                 {"e": e, "g_radar": g_radar, "g_lidar": g_lidar,
                  "df": df, "dr": dr, "dl": dl}.items()}
+        stats = {"e": stats_e, "g_radar": vgr.get("batch_stats", {}),
+                 "g_lidar": vgl.get("batch_stats", {}),
+                 "df": vdf.get("batch_stats", {})}
         return R2LAEState(e=e, g_radar=g_radar, g_lidar=g_lidar, df=df,
-                          dr=dr, dl=dl, opts=opts, rng=r[6],
+                          dr=dr, dl=dl, opts=opts, stats=stats, rng=r[6],
                           epoch=jnp.zeros((), jnp.int32))
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
@@ -294,10 +321,16 @@ class R2LAE:
                 params["df"], params["dr"], params["dl"])
 
             ip = jnp.concatenate([radar, lidar], axis=0)
-            feat = self.E.apply({"params": e}, ip.astype(cdt)).astype(jnp.float32)
+            feat, ve = self.E.apply(
+                {"params": e, "batch_stats": state.stats["e"]},
+                ip.astype(cdt), train=True, mutable=["batch_stats"])
+            feat = feat.astype(jnp.float32)
             radar_feat, lidar_feat = feat[:bs], feat[bs:]
 
-            pred_f = self.DF.apply({"params": df}, feat.astype(cdt)).astype(jnp.float32)
+            pred_f, vdf = self.DF.apply(
+                {"params": df, "batch_stats": state.stats["df"]},
+                feat.astype(cdt), train=True, mutable=["batch_stats"])
+            pred_f = pred_f.astype(jnp.float32)
             ones = jnp.ones_like(pred_f[:bs])
             zeros = jnp.zeros_like(pred_f[:bs])
             target_real = jnp.concatenate([ones, zeros], axis=0)
@@ -310,10 +343,14 @@ class R2LAE:
             loss_encoder = -jnp.mean(target_flip * jnp.log(p)
                                      + (1 - target_flip) * jnp.log(1 - p))
 
-            lidar_gen = self.G_lidar.apply(
-                {"params": g_lidar}, lidar_feat.astype(cdt)).astype(jnp.float32)
-            radar_gen = self.G_radar.apply(
-                {"params": g_radar}, radar_feat.astype(cdt)).astype(jnp.float32)
+            lidar_gen, vgl = self.G_lidar.apply(
+                {"params": g_lidar, "batch_stats": state.stats["g_lidar"]},
+                lidar_feat.astype(cdt), train=True, mutable=["batch_stats"])
+            radar_gen, vgr = self.G_radar.apply(
+                {"params": g_radar, "batch_stats": state.stats["g_radar"]},
+                radar_feat.astype(cdt), train=True, mutable=["batch_stats"])
+            lidar_gen = lidar_gen.astype(jnp.float32)
+            radar_gen = radar_gen.astype(jnp.float32)
 
             mse_lidar = mse_loss(lidar, lidar_gen)
             mse_radar = mse_loss(radar, radar_gen)
@@ -345,14 +382,19 @@ class R2LAE:
                        "MSE_radar": mse_radar, "MSE_lidar": mse_lidar,
                        "w_distance_F": loss_d_encoder,
                        "d_radar": loss_d_radar, "d_lidar": loss_d_lidar}
+            new_stats = {"e": ve["batch_stats"], "df": vdf["batch_stats"],
+                         "g_lidar": vgl["batch_stats"],
+                         "g_radar": vgr["batch_stats"]}
             return total, (metrics, {"lidar_gen": lidar_gen,
-                                     "radar_gen": radar_gen})
+                                     "radar_gen": radar_gen}, new_stats)
 
         params = {"e": state.e, "g_radar": state.g_radar,
                   "g_lidar": state.g_lidar, "df": state.df,
                   "dr": state.dr, "dl": state.dl}
-        (_, (metrics, fakes)), grads = jax.value_and_grad(
+        (_, (metrics, fakes, new_stats)), grads = jax.value_and_grad(
             joint_loss, has_aux=True)(params)
+        # EMA running stats ride along as aux (no gradient flows into them)
+        new_stats = jax.lax.stop_gradient(new_stats)
 
         new_params, new_opts = {}, {}
         for k in params:
@@ -364,18 +406,25 @@ class R2LAE:
             e=new_params["e"], g_radar=new_params["g_radar"],
             g_lidar=new_params["g_lidar"], df=new_params["df"],
             dr=new_params["dr"], dl=new_params["dl"],
-            opts=new_opts, rng=state.rng, epoch=state.epoch)
+            opts=new_opts, stats=new_stats, rng=state.rng, epoch=state.epoch)
         return new_state, metrics, fakes
 
     @functools.partial(jax.jit, static_argnums=0)
     def infer(self, state: R2LAEState, radar, lidar):
+        """Eval-mode inference: BN uses running averages, so the output of
+        each sample is independent of the batch composition (torch eval
+        parity; the round-1 per-batch-stats behavior is gone)."""
         bs = radar.shape[0]
         ip = jnp.concatenate([radar, lidar], axis=0)
-        feat = self.E.apply({"params": state.e}, ip.astype(self.cdt)).astype(jnp.float32)
-        lidar_gen = self.G_lidar.apply({"params": state.g_lidar},
-                                       feat[bs:].astype(self.cdt))
-        radar_gen = self.G_radar.apply({"params": state.g_radar},
-                                       feat[:bs].astype(self.cdt))
+        feat = self.E.apply(
+            {"params": state.e, "batch_stats": state.stats["e"]},
+            ip.astype(self.cdt), train=False).astype(jnp.float32)
+        lidar_gen = self.G_lidar.apply(
+            {"params": state.g_lidar, "batch_stats": state.stats["g_lidar"]},
+            feat[bs:].astype(self.cdt), train=False)
+        radar_gen = self.G_radar.apply(
+            {"params": state.g_radar, "batch_stats": state.stats["g_radar"]},
+            feat[:bs].astype(self.cdt), train=False)
         return {"lidar_gen": lidar_gen, "radar_gen": radar_gen}
 
 

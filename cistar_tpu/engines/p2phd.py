@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import optax
 
 from cistar_tpu.losses.gan import gan_loss, l1_loss
-from cistar_tpu.models.pix2pixhd import define_d, define_g
+from cistar_tpu.models.pix2pixhd import Encoder, define_d, define_g
 from cistar_tpu.utils.image_pool import PoolState, init_pool, push_and_pop
 
 
@@ -54,6 +54,8 @@ class P2PState(NamedTuple):
     pool: Optional[PoolState]
     rng: jax.Array
     epoch: jnp.ndarray
+    e: Any = None          # netE params (use_features joint training)
+    opt_e: Any = None
 
 
 class Pix2PixHD:
@@ -89,9 +91,27 @@ class Pix2PixHD:
         d_loss_floor: float = 0.1,
         image_size: int = 512,
         compute_dtype=jnp.bfloat16,
+        instance_feat: bool = False,
+        label_feat: bool = False,
+        load_features: bool = False,
+        feat_num: int = 3,
+        nef: int = 16,
+        n_downsample_e: int = 4,
+        max_instances: int = 64,
     ):
+        # use_features / gen_features semantics: pix2pixHD_model.py:26-28
+        self.use_features = instance_feat or label_feat
+        self.gen_features = self.use_features and not load_features
+        self.label_feat = label_feat
+        self.load_features = load_features
+        self.feat_num = feat_num
+        self.max_instances = max_instances
         self.G = define_g(net_g, output_nc, ngf, n_downsample_global,
                           n_blocks_global, n_local_enhancers, n_blocks_local, norm)
+        # netE trains jointly with G when generating features
+        # (pix2pixHD_model.py:57-59 wiring, :110-117 shared optimizer)
+        self.E = (Encoder(feat_num, nef, n_downsample_e, norm)
+                  if self.gen_features else None)
         self.D = define_d(ndf, n_layers_d, norm, use_sigmoid=not use_lsgan,
                           num_d=num_d, get_interm_feat=use_ganfeat_loss)
         self.net_g = net_g
@@ -113,10 +133,17 @@ class Pix2PixHD:
                                                        b1=beta1, b2=0.999)
 
     # -- input encoding ------------------------------------------------------
-    def g_input_nc(self) -> int:
+    def label_input_nc(self) -> int:
+        """Channels of the encoded label the DISCRIMINATOR sees (no feat)."""
         nc = self.label_nc if (self.label_nc != 0 and not self.r2l) else self.input_nc
         if not self.no_instance:
             nc += 1
+        return nc
+
+    def g_input_nc(self) -> int:
+        nc = self.label_input_nc()
+        if self.use_features:
+            nc += self.feat_num    # netG input grows by the feature channels
         return nc
 
     def encode_input(self, label, inst=None):
@@ -136,16 +163,25 @@ class Pix2PixHD:
         size = image_size or self.image_size
         r = jax.random.split(rng, 3)
         xg = jnp.zeros((1, size, size, self.g_input_nc()), jnp.float32)
-        xd = jnp.zeros((1, size, size, self.g_input_nc() + self.output_nc), jnp.float32)
+        xd = jnp.zeros((1, size, size,
+                        self.label_input_nc() + self.output_nc), jnp.float32)
         g = self.G.init(r[0], xg)["params"]
         d = self.D.init(r[1], xd)["params"]
         pool = (init_pool(self.pool_size,
-                          (size, size, self.g_input_nc() + self.output_nc))
+                          (size, size, self.label_input_nc() + self.output_nc))
                 if self.pool_size > 0 else None)
+        e = opt_e = None
+        if self.gen_features:
+            xe = jnp.zeros((1, size, size, self.output_nc), jnp.float32)
+            inst0 = jnp.zeros((1, size, size), jnp.int32)
+            e = self.E.init(jax.random.fold_in(r[0], 1), xe, inst0,
+                            self.max_instances)["params"]
+            opt_e = self.tx.init(e)
         return P2PState(
             g=g, d=d,
             opt_g=self.tx.init(g), opt_d=self.tx.init(d),
             pool=pool, rng=r[2], epoch=jnp.zeros((), jnp.int32),
+            e=e, opt_e=opt_e,
         )
 
     # -- helpers -------------------------------------------------------------
@@ -181,8 +217,16 @@ class Pix2PixHD:
         return {k: mask_tree(v, k) for k, v in grads.items()}
 
     # -- the jitted step -----------------------------------------------------
+    def _pool_ids(self, label, inst):
+        """Instance ids for feature pooling: inst, or the label map when
+        label_feat (``pix2pixHD_model.py:148-149``)."""
+        ids = label if (self.label_feat or inst is None) else inst
+        if ids.ndim == 4:
+            ids = ids[..., 0]
+        return ids.astype(jnp.int32)
+
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(self, state: P2PState, label, inst, image):
+    def train_step(self, state: P2PState, label, inst, image, feat=None):
         rng, k_pool = jax.random.split(state.rng)
         input_label = self.encode_input(label, inst)
         lr_now = self.lr_at(state.epoch)
@@ -191,9 +235,24 @@ class Pix2PixHD:
         d_w = 1.0 / self.num_d
 
         bs = label.shape[0]
+        pool_ids = self._pool_ids(label, inst) if self.gen_features else None
 
-        def g_loss_fn(gp):
-            fake = self._g_apply(gp, input_label)
+        def g_loss_fn(gep):
+            gp = gep["g"] if self.gen_features else gep
+            if self.gen_features:
+                # netE encodes the REAL image, instance-pooled; feat_map is
+                # NOT detached — E trains jointly with G through the G losses
+                # (pix2pixHD_model.py:166-171, optimizer at :110-117)
+                feat_map = self.E.apply(
+                    {"params": gep["e"]}, image.astype(jnp.float32),
+                    pool_ids, self.max_instances)
+                g_in = jnp.concatenate([input_label, feat_map], axis=-1)
+            elif self.use_features:
+                g_in = jnp.concatenate(
+                    [input_label, feat.astype(jnp.float32)], axis=-1)
+            else:
+                g_in = input_label
+            fake = self._g_apply(gp, g_in)
             if self.use_ganfeat:
                 # one batched D call over (fake ‖ real) pairs — per-sample
                 # norms make this bit-identical to two separate calls
@@ -223,12 +282,21 @@ class Pix2PixHD:
             return total, {"fake": fake, "G_GAN": loss_g_gan,
                            "G_GAN_Feat": loss_feat, "G_VGG": loss_vgg}
 
-        (_, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g)
+        g_arg = {"g": state.g, "e": state.e} if self.gen_features else state.g
+        (_, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(g_arg)
+        if self.gen_features:
+            e_grads, g_grads = g_grads["e"], g_grads["g"]
         g_grads = self._fix_global_mask(g_grads, state.epoch)
         opt_g_in = state.opt_g
         opt_g_in.hyperparams["learning_rate"] = lr_now
         g_updates, opt_g = self.tx.update(g_grads, opt_g_in, state.g)
         g_params = optax.apply_updates(state.g, g_updates)
+        e_params, opt_e = state.e, state.opt_e
+        if self.gen_features:
+            opt_e_in = state.opt_e
+            opt_e_in.hyperparams["learning_rate"] = lr_now
+            e_updates, opt_e = self.tx.update(e_grads, opt_e_in, state.e)
+            e_params = optax.apply_updates(state.e, e_updates)
 
         fake = jax.lax.stop_gradient(aux.pop("fake"))
         fake_concat = jnp.concatenate([input_label, fake], axis=-1)
@@ -266,7 +334,8 @@ class Pix2PixHD:
             "loss_D": loss_d, "loss_G": aux["G_GAN"] + aux["G_GAN_Feat"] + aux["G_VGG"],
         }
         new_state = P2PState(g=g_params, d=d_params, opt_g=opt_g, opt_d=opt_d,
-                             pool=pool, rng=rng, epoch=state.epoch)
+                             pool=pool, rng=rng, epoch=state.epoch,
+                             e=e_params, opt_e=opt_e)
         return new_state, metrics, fake
 
     def next_epoch(self, state: P2PState) -> P2PState:
@@ -278,6 +347,18 @@ class Pix2PixHD:
         """Parity with ``Pix2PixHDModel.inference`` (no-feature path)."""
         input_label = self.encode_input(label, inst)
         return self._g_apply(g_params, input_label)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def infer_encoded(self, g_params, e_params, label, inst, image):
+        """use_encoded_image inference: feat from netE over the real image
+        (``pix2pixHD_model.py:210-214``)."""
+        input_label = self.encode_input(label, inst)
+        feat_map = self.E.apply({"params": e_params},
+                                image.astype(jnp.float32),
+                                self._pool_ids(label, inst),
+                                self.max_instances)
+        return self._g_apply(
+            g_params, jnp.concatenate([input_label, feat_map], axis=-1))
 
     @functools.partial(jax.jit, static_argnums=0)
     def infer_with_features(self, g_params, label, inst, feat_map):

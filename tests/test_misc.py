@@ -165,3 +165,56 @@ def test_fast_infer_matches_linen(rng):
     out2 = global_generator_fast_apply(pg, x, n_downsampling=2, n_blocks=2)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_ui_style_switch_changes_output(rng):
+    """set_object_style must change the synthesized pixels in the object's
+    region (the round-1 EditSession ignored its feature map; VERDICT #7)."""
+    import jax
+
+    from cistar_tpu.engines.p2phd import Pix2PixHD
+    from cistar_tpu.engines.ui import EditSession
+
+    eng = Pix2PixHD(net_g="global", ngf=8, ndf=8, n_downsample_global=2,
+                    n_blocks_global=1, label_nc=4, r2l=False,
+                    no_instance=False, instance_feat=True, feat_num=3, nef=4,
+                    n_downsample_e=2, image_size=32,
+                    compute_dtype=jnp.float32)
+    state = eng.init_state(jax.random.PRNGKey(0), image_size=32)
+
+    label = rng.randint(0, 4, size=(32, 32)).astype(np.float32)
+    inst = np.zeros((32, 32), np.int32)
+    inst[8:24, 8:24] = 7
+    feat = np.zeros((32, 32, 3), np.float32)
+    sess = EditSession(eng, state.g, label, inst, feat=feat)
+    before = sess.current.copy()
+
+    centers = np.asarray([[0.0, 0.0, 0.0], [3.0, -2.0, 1.0]], np.float32)
+    after = sess.set_style(7, centers, 1)
+    region = np.abs(after[8:24, 8:24] - before[8:24, 8:24])
+    assert float(region.max()) > 1e-4, "style switch did not affect output"
+
+
+def test_label_viz_colormaps():
+    from cistar_tpu.utils.label_viz import colorize, labelcolormap, tensor2label
+
+    # procedural map — values from the reference algorithm (util/util.py:52-76)
+    cm = labelcolormap(10)
+    assert cm.tolist()[:4] == [[0, 0, 0], [128, 0, 0], [0, 128, 0],
+                               [128, 128, 0]]
+    # cityscapes table spot checks (road=7, car=26)
+    cs = labelcolormap(35)
+    assert cs[7].tolist() == [128, 64, 128]
+    assert cs[26].tolist() == [0, 0, 142]
+
+    lab = np.zeros((4, 4), np.int32)
+    lab[0, 0] = 7
+    img = colorize(lab, 35)
+    assert img.shape == (4, 4, 3) and img[0, 0].tolist() == [128, 64, 128]
+
+    onehot = np.zeros((4, 4, 35), np.float32)
+    onehot[..., 7] = 1.0
+    assert tensor2label(onehot, 35)[0, 0].tolist() == [128, 64, 128]
+    # r2l mode (n_label=0): grayscale passthrough
+    g = tensor2label(np.full((4, 4, 1), 0.5, np.float32), 0)
+    assert g.dtype == np.uint8 and g[0, 0] == 127

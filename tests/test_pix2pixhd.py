@@ -127,18 +127,21 @@ def test_wdiscriminator_scalar_and_map(rng):
 def test_uda_modules_roundtrip(rng):
     x = _x(rng, s=32)
     enc = UDAEncoder(size=32, down_conv=2, ngf=8, n_resblocks=1)
-    pe = enc.init(jax.random.PRNGKey(0), x)["params"]
-    z = enc.apply({"params": pe}, x)
+    ve = enc.init(jax.random.PRNGKey(0), x)
+    z = enc.apply(ve, x)
     assert z.shape == (1, 8, 8, 32)
     dec = UDADecoder(output_nc=1, size=32, f_size=8, down_conv=2, n_resblocks=1)
-    pd = dec.init(jax.random.PRNGKey(1), z)["params"]
-    y = dec.apply({"params": pd}, z)
+    vd = dec.init(jax.random.PRNGKey(1), z)
+    y = dec.apply(vd, z)
     assert y.shape == x.shape
     df = DomainFeatureDiscriminator()
-    pf = df.init(jax.random.PRNGKey(2), z)["params"]
-    dom = df.apply({"params": pf}, z)
+    vf = df.init(jax.random.PRNGKey(2), z)
+    dom = df.apply(vf, z)
     assert dom.shape == (1, 8, 8, 1)
     assert float(jnp.min(dom)) >= 0.0 and float(jnp.max(dom)) <= 1.0
+    # eval mode consumes running averages from the batch_stats collection
+    z_eval = enc.apply(ve, x, train=False)
+    assert z_eval.shape == z.shape
 
 
 def test_get_edges():
@@ -216,3 +219,36 @@ def test_p2phd_semantic_mode_onehot(rng):
     enc = eng.encode_input(label, inst)
     assert enc.shape == (1, 32, 32, 5)  # 4 one-hot + 1 edge channel
     np.testing.assert_allclose(np.asarray(enc[..., :4].sum(-1)), 1.0)
+
+
+def test_p2phd_netE_joint_training(rng):
+    """use_features: netE encodes the real image (instance-pooled), its
+    features condition G, and E trains jointly with G in the same step
+    (ref pix2pixHD_model.py:110-117,166-171)."""
+    eng = Pix2PixHD(net_g="global", ngf=8, ndf=8, n_downsample_global=2,
+                    n_blocks_global=1, n_layers_d=2, num_d=2,
+                    label_nc=4, r2l=False, no_instance=False,
+                    instance_feat=True, feat_num=3, nef=4, n_downsample_e=2,
+                    niter=2, niter_decay=2, image_size=32,
+                    compute_dtype=jnp.float32)
+    assert eng.gen_features and eng.E is not None
+    assert eng.g_input_nc() == 4 + 1 + 3  # one-hot + edges + feat channels
+    state = eng.init_state(jax.random.PRNGKey(0), image_size=32)
+    assert state.e is not None and state.opt_e is not None
+
+    label = jnp.asarray(rng.randint(0, 4, size=(2, 32, 32, 1)).astype(np.float32))
+    inst = jnp.asarray(rng.randint(0, 3, size=(2, 32, 32, 1)).astype(np.float32))
+    image = _x(rng, n=2, s=32)
+    e0 = jax.tree.map(lambda a: np.asarray(a).copy(), state.e)
+    state2, metrics, fake = eng.train_step(state, label, inst, image)
+    assert fake.shape == image.shape
+    vals = {k: float(v) for k, v in metrics.items()}
+    assert all(np.isfinite(v) for v in vals.values()), vals
+    # E grads nonzero: at least one E leaf moved
+    moved = [not np.allclose(np.asarray(a), b) for a, b in
+             zip(jax.tree.leaves(state2.e), jax.tree.leaves(e0))]
+    assert any(moved), "netE did not train"
+
+    # use_encoded_image inference path consumes the jointly-trained netE
+    out = eng.infer_encoded(state2.g, state2.e, label, inst, image)
+    assert out.shape == image.shape and np.isfinite(np.asarray(out)).all()

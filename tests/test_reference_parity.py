@@ -158,6 +158,132 @@ def test_p2phd_multiscale_d_parity(gdir):
             assert float(np.max(np.abs(np.asarray(feat) - ref))) < 5e-3, (i, j)
 
 
+def test_p2phd_multiscale_global_parity(gdir):
+    """The shipped r2l experiment's generator (checkpoints/r2l/opt.txt:51)."""
+    from cistar_tpu.core.convert_models import convert_multiscale_global_generator
+    from cistar_tpu.models.pix2pixhd import MultiscaleGlobalGenerator
+
+    sds, io = _golden(gdir, "ref_golden_p2phd.py", "p2phd_multiscale",
+                      "--family", "multiscale", "--size", "64", "--ngf", "8")
+    params, stats = convert_multiscale_global_generator(sds["net"], n_blocks=9)
+    # define_G quirk: this family always runs on the BatchNorm default
+    model = MultiscaleGlobalGenerator(output_nc=1, ngf=8, n_blocks=9,
+                                      norm="batch")
+    variables = {"params": jax.tree.map(jnp.asarray, params),
+                 "batch_stats": jax.tree.map(jnp.asarray, stats)}
+    # the golden forward ran in eval() mode → running averages
+    out = model.apply(variables, jnp.asarray(_nhwc(io["x"])), train=False)
+    assert float(np.max(np.abs(np.asarray(out) - _nhwc(io["y"])))) < 5e-3
+
+
+def test_p2phd_autoencoder_parity(gdir):
+    from cistar_tpu.core.convert_models import convert_autoencoder
+    from cistar_tpu.models.pix2pixhd import AutoEncoder
+
+    sds, io = _golden(gdir, "ref_golden_p2phd.py", "p2phd_autoencoder",
+                      "--family", "autoencoder", "--size", "64", "--ngf", "16")
+    params = convert_autoencoder(sds["net"], n_downsampling=2, n_blocks=3)
+    model = AutoEncoder(output_nc=1, ngf=16, n_downsampling=2, n_blocks=3)
+    out = model.apply({"params": jax.tree.map(jnp.asarray, params)},
+                      jnp.asarray(_nhwc(io["x"])))
+    assert float(np.max(np.abs(np.asarray(out) - _nhwc(io["y"])))) < 5e-3
+
+
+def test_p2phd_encoder_parity(gdir):
+    """netE incl. the instance-wise average pooling (networks.py:412-422)."""
+    from cistar_tpu.core.convert_models import convert_p2phd_encoder
+    from cistar_tpu.models.pix2pixhd import Encoder
+
+    sds, io = _golden(gdir, "ref_golden_p2phd.py", "p2phd_encoder",
+                      "--family", "encoder", "--size", "64")
+    params = convert_p2phd_encoder(sds["net"], n_downsampling=4)
+    model = Encoder(output_nc=3, ngf=16, n_downsampling=4)
+    inst = jnp.asarray(_nhwc(io["inst"]))
+    out = model.apply({"params": jax.tree.map(jnp.asarray, params)},
+                      jnp.asarray(_nhwc(io["x"])), inst)
+    assert float(np.max(np.abs(np.asarray(out) - _nhwc(io["y"])))) < 5e-3
+
+
+def test_p2phd_wdiscriminator_parity(gdir):
+    from cistar_tpu.core.convert_models import convert_wdiscriminator
+    from cistar_tpu.models.pix2pixhd import WDiscriminator
+
+    sds, io = _golden(gdir, "ref_golden_p2phd.py", "p2phd_wd",
+                      "--family", "wd", "--size", "64")
+    params = convert_wdiscriminator(sds["net"], n_layer=5)
+    model = WDiscriminator(ngf=16, n_layer=5, activate=False, flatten=True)
+    out = model.apply({"params": jax.tree.map(jnp.asarray, params)},
+                      jnp.asarray(_nhwc(io["x"])))
+    assert abs(float(out) - float(io["y"][0])) < 5e-3
+
+
+def test_p2phd_uda_parity(gdir):
+    """UDA encoder/decoders/domain classifier (R2LAE wiring), both BN modes:
+    eval (running stats) and train (batch stats)."""
+    from cistar_tpu.core.convert_models import (
+        convert_domain_feature_discriminator, convert_uda_decoder,
+        convert_uda_encoder)
+    from cistar_tpu.models.pix2pixhd import (DomainFeatureDiscriminator,
+                                             UDADecoder, UDAEncoder)
+
+    sds, io = _golden(gdir, "ref_golden_p2phd.py", "p2phd_uda",
+                      "--family", "uda", "--size", "64")
+    pe, se = convert_uda_encoder(sds["enc"], down_conv=4, n_resblocks=2)
+    pr, sr = convert_uda_decoder(sds["dec_r"], down_conv=4, n_resblocks=2)
+    pd, sd_ = convert_domain_feature_discriminator(sds["dom"])
+    enc = UDAEncoder(size=64, down_conv=4, ngf=16, n_resblocks=2, max_ch=256)
+    dec = UDADecoder(output_nc=1, size=64, f_size=4, down_conv=4, n_resblocks=2)
+    dom = DomainFeatureDiscriminator()
+
+    to_j = lambda t: jax.tree.map(jnp.asarray, t)  # noqa: E731
+    x = jnp.asarray(_nhwc(io["x"]))
+
+    # eval mode: running averages (fresh at init in the golden)
+    feat = enc.apply({"params": to_j(pe), "batch_stats": to_j(se)}, x,
+                     train=False)
+    assert float(np.max(np.abs(np.asarray(feat) - _nhwc(io["feat"])))) < 5e-3
+    rec = dec.apply({"params": to_j(pr), "batch_stats": to_j(sr)}, feat,
+                    train=False)
+    assert float(np.max(np.abs(np.asarray(rec) - _nhwc(io["rec_radar"])))) < 5e-3
+    dm = dom.apply({"params": to_j(pd), "batch_stats": to_j(sd_)}, feat,
+                   train=False)
+    assert float(np.max(np.abs(np.asarray(dm) - _nhwc(io["dom"])))) < 5e-3
+
+    # train mode: batch statistics
+    feat_t = enc.apply({"params": to_j(pe), "batch_stats": to_j(se)}, x,
+                       train=True)
+    assert float(np.max(np.abs(np.asarray(feat_t)
+                               - _nhwc(io["feat_train"])))) < 5e-3
+    rec_t = dec.apply({"params": to_j(pr), "batch_stats": to_j(sr)}, feat_t,
+                      train=True)
+    assert float(np.max(np.abs(np.asarray(rec_t)
+                               - _nhwc(io["rec_radar_train"])))) < 5e-3
+
+
+def test_p2phd_transfer_pair_parity(gdir):
+    """FeatureEncoder (bespoke numbered save format) + TransferGenerator —
+    the R2LTransfer frozen-net stack loads these converted checkpoints."""
+    from cistar_tpu.core.convert_models import (convert_feature_encoder,
+                                                convert_transfer_generator)
+    from cistar_tpu.models.pix2pixhd import FeatureEncoder, TransferGenerator
+
+    sds, io = _golden(gdir, "ref_golden_p2phd.py", "p2phd_transfer",
+                      "--family", "transfer", "--size", "64")
+    numbered = {}
+    for k, v in sds["fe"].items():
+        idx, key = k.split("|", 1)
+        numbered.setdefault(idx, {})[key] = v
+    pe = convert_feature_encoder(numbered, n_downsampling=4, n_scale=3)
+    pg = convert_transfer_generator(sds["tg"], n_blocks=3, n_upsampling=4)
+    fe = FeatureEncoder(ngf=16, n_downsampling=4, n_scale=3)
+    tg = TransferGenerator(output_nc=1, n_blocks=3, ngf=16, n_upsampling=4)
+    feat = fe.apply({"params": jax.tree.map(jnp.asarray, pe)},
+                    jnp.asarray(_nhwc(io["x"])))
+    assert float(np.max(np.abs(np.asarray(feat) - _nhwc(io["feat"])))) < 5e-3
+    out = tg.apply({"params": jax.tree.map(jnp.asarray, pg)}, feat)
+    assert float(np.max(np.abs(np.asarray(out) - _nhwc(io["y"])))) < 5e-3
+
+
 @pytest.mark.slow
 def test_p2phd_inference_r2l_opt_txt_parity(gdir):
     """Model-level: InferenceModel driven by the shipped opt.txt (ngf=64)."""

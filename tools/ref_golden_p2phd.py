@@ -134,8 +134,12 @@ def main(argv=None):
         dec_l = networks.UDADecoder(enc.op_nc, 1, size, enc.op_size,
                                     down_conv=4, resblock=2, max_ch=256)
         dom = networks.DomainFeatureDescriminator(enc.op_nc)
-        sds = {"enc": enc.state_dict(), "dec_r": dec_r.state_dict(),
-               "dec_l": dec_l.state_dict(), "dom": dom.state_dict()}
+        # snapshot to numpy NOW: state_dict() aliases live tensors, and the
+        # train-mode forwards below update BN running stats in place
+        snap = lambda d: {k: v.detach().clone().numpy()  # noqa: E731
+                          for k, v in d.items()}
+        sds = {"enc": snap(enc.state_dict()), "dec_r": snap(dec_r.state_dict()),
+               "dec_l": snap(dec_l.state_dict()), "dom": snap(dom.state_dict())}
         # eval mode: BatchNorm uses (fresh) running stats
         for m in (enc, dec_r, dec_l, dom):
             m.eval()
@@ -157,6 +161,33 @@ def main(argv=None):
         arrays["op_size"] = np.array(int(enc.op_size))
         refbridge.save_golden(args.out, state_dicts=sds, arrays=arrays)
         print(f"golden written: {args.out}")
+        return
+    elif fam == "transfer":
+        # TransferModel / R2LTransfer generator pair
+        # (pix2pixHD_model.py:347-352, :640-649)
+        torch.manual_seed(0)
+        fe = networks.FeatureEncoder(1, ngf=16, n_downsampling=4, n_scale=3)
+        tg = networks.TransferGenerator(fe.op_nc, 1, 3, ngf=16,
+                                        n_upsampling=4)
+        with torch.no_grad():
+            feat = fe(x)
+            y = tg(feat)
+        # FeatureEncoder's bespoke numbered save format (networks.py:616-631)
+        fe_sd = {}
+        layer_cnt = 0
+        for m in fe.branch:
+            for k, v in m.state_dict().items():
+                fe_sd[f"{layer_cnt}|{k}"] = v
+            layer_cnt += 1
+        for m in fe.down_conv:
+            for k, v in m.state_dict().items():
+                fe_sd[f"{layer_cnt}|{k}"] = v
+            layer_cnt += 1
+        sds = {"fe": fe_sd, "tg": tg.state_dict()}
+        arrays["feat"] = feat
+        arrays["y"] = y
+        refbridge.save_golden(args.out, state_dicts=sds, arrays=arrays)
+        print(f"golden written: {args.out} (y std {float(y.std()):.4f})")
         return
     elif fam == "inference_r2l":
         # Full InferenceModel flow with the shipped opt.txt, including the
