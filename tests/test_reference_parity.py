@@ -95,6 +95,38 @@ def test_cyclegan_testflow_parity(gdir, gen_type):
 
 
 # --------------------------------------------------------------------------- #
+# IST — the full Gatys pipeline incl. the torch L-BFGS optimization loop
+# --------------------------------------------------------------------------- #
+def test_ist_gatys_pipeline_parity(gdir):
+    """Reference ImageTransform + VGG-19 + 40-iter L-BFGS vs our jitted
+    engine, shared seeded-Kaiming VGG weights. The optimization trajectories
+    drift (chaotic objective), so parity is judged perceptually: the
+    north-star budget is 1e-2; measured ~1e-3 at this config (the recorded
+    full-size numbers live in docs/PARITY.md)."""
+    from PIL import Image
+
+    from cistar_tpu.core.config import get_ist_cfg_defaults
+    from cistar_tpu.engines.ist import GatysEngine
+    from cistar_tpu.models.vgg import torch_vgg_conv_to_params
+    from cistar_tpu.utils.lpips import lpips_distance
+
+    sds, io = _golden(gdir, "ref_golden_ist.py", "ist_96",
+                      "--size", "96", "--iters", "40")
+    cfg = get_ist_cfg_defaults()
+    cfg.DATA.IMG_SIZE = 96
+    cfg.LOSS.MAX_ITER = 40
+    eng = GatysEngine(cfg, torch_vgg_conv_to_params(sds["vgg"]),
+                      compute_dtype=jnp.float32)
+    out = eng.transfer_style(Image.fromarray(io["content_rgb"]),
+                             Image.fromarray(io["style_rgb"]), max_iters=40)
+    ours = np.asarray(out).astype(np.float32) / 255.0
+    ref = io["out_rgb"].astype(np.float32) / 255.0
+    d = float(np.mean(np.asarray(
+        lpips_distance(jnp.asarray(ours)[None], jnp.asarray(ref)[None]))))
+    assert d < 1e-2, f"perceptual distance {d} exceeds the north-star budget"
+
+
+# --------------------------------------------------------------------------- #
 # pix2pixHD generators / discriminator
 # --------------------------------------------------------------------------- #
 def test_p2phd_global_parity(gdir):

@@ -140,6 +140,35 @@ def install_torchvision_stub():
     sys.modules["torchvision.models"] = mo
 
 
+def install_yacs_stub():
+    """Minimal ``yacs.config.CfgNode`` (yacs isn't installed): attribute
+    dict with ``clone()`` — all ``IST/config/defaults.py`` needs."""
+    import copy
+
+    class CfgNode(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+        def clone(self):
+            return copy.deepcopy(self)
+
+        def freeze(self):
+            pass
+
+    yacs = types.ModuleType("yacs")
+    cfgmod = types.ModuleType("yacs.config")
+    cfgmod.CfgNode = CfgNode
+    yacs.config = cfgmod
+    sys.modules["yacs"] = yacs
+    sys.modules["yacs.config"] = cfgmod
+
+
 def save_golden(path, state_dicts=None, arrays=None):
     """Write ``{sd:<name>:<key>: w, io:<key>: arr}`` to one npz."""
     import numpy as np
