@@ -69,6 +69,16 @@ def main(argv=None):
         stats = profile_fn(lambda x: run(x), example, iters=100)
         print(f"engine {path}: {stats['mean_ms']:.3f} ms/iter "
               f"(p50 {stats['p50_ms']:.3f}, p95 {stats['p95_ms']:.3f})")
+        # per-op device-time table — the TRT Profiler printout
+        # (run_engine.py:35-59,112-117)
+        from cistar_tpu.runtime.profiler import (format_op_table,
+                                                 profile_op_table)
+
+        try:
+            rows, totals = profile_op_table(run, example, iters=10)
+            print(format_op_table(rows, totals))
+        except Exception as e:  # backend without trace support
+            print(f"(per-op trace unavailable: {e})")
         infer = run
     else:
         infer = lambda label: engine.infer_step(g_params, label)
