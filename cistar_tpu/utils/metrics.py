@@ -98,6 +98,11 @@ class MetricsLogger:
         print(f"epoch {self.epoch:03d}/{self.n_epochs:03d} "
               f"batch {self.batch:05d}/{self.bpe:05d} | {parts} | "
               f"{ips:.1f} img/s", flush=True)
+        # fine-grained feed for the live dashboard (utils/dashboard.py — the
+        # visdom-Logger role); one record per print interval
+        with open(os.path.join(self.out_dir, "live_log.jsonl"), "a") as f:
+            f.write(json.dumps({"epoch": self.epoch, "batch": self.batch,
+                                "img_per_s": round(ips, 2), **means}) + "\n")
 
     def end_epoch(self) -> Dict[str, float]:
         means = self.means()
