@@ -110,3 +110,48 @@ def global_generator_fast_apply(params: Dict[str, Any], x: jnp.ndarray,
     p = params["head"]["conv"]
     h = tnn.conv2d_reflect(h, p["w"], p.get("b"))
     return tnn.tanh(h)
+
+
+def global_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
+                                      x: jnp.ndarray,
+                                      n_downsampling: int = 4,
+                                      n_blocks: int = 9,
+                                      cout_tile: int = 128) -> jnp.ndarray:
+    """GlobalGenerator forward with the res trunk on the int8 MXU.
+
+    The reference's TensorRT-int8 engine is exactly this network
+    (``p2pHD/run_engine.py:160-165`` runs the exported pix2pixHD generator).
+    At the default width (ngf 64, 4 downsamplings → 1024-channel trunk) the
+    per-block weights exceed VMEM, so the trunk dispatches to the cout-tiled
+    two-kernel chain (``quant_pallas.resblock_chain_int8_tiled``); narrower
+    configs whose blocks fit whole-image use the fused single kernel.
+    ``qblocks`` comes from ``quant_pallas.quantize_global_trunk`` over the
+    same param tree.
+    """
+    from cistar_tpu.ops.quant_pallas import (resblock_chain_int8_bf16io,
+                                             resblock_chain_int8_tiled)
+
+    trunk = params["trunk"]
+    p = trunk["stem"]["conv"]
+    h = tnn.conv2d_reflect(x, p["w"], p.get("b"))
+    h = tnn.relu(tnn.instance_norm(h))
+    for i in range(n_downsampling):
+        p = trunk[f"down_{i}"]["conv"]
+        h = tnn.conv2d(h, p["w"], p.get("b"), stride=2, padding=1)
+        h = tnn.relu(tnn.instance_norm(h))
+    c = h.shape[-1]
+    hw = h.shape[1] * h.shape[2]
+    # whole-image kernel needs acts + both weight mats resident at once
+    whole_fits = hw * c * 14 + 2 * 9 * c * c + 16 * c <= 13 * 1024 * 1024
+    if whole_fits:
+        h = resblock_chain_int8_bf16io(h, qblocks)
+    else:
+        h = resblock_chain_int8_tiled(h, qblocks, cout_tile=cout_tile)
+    for i in range(n_downsampling):
+        p = trunk[f"up_{i}"]["convt"]
+        h = tnn.conv_transpose2d(h, p["w"], p.get("b"), stride=2, padding=1,
+                                 output_padding=1)
+        h = tnn.relu(tnn.instance_norm(h))
+    p = params["head"]["conv"]
+    h = tnn.conv2d_reflect(h, p["w"], p.get("b"))
+    return tnn.tanh(h)

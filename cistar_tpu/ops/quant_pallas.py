@@ -66,11 +66,14 @@ def quantize_resblock(blk: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
 
 def quantize_act(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-image symmetric int8: (B,H,W,C) → ((B,H,W,C) int8, (B,1) scale)."""
-    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2, 3))
-    scale = jnp.maximum(absmax, 1e-6) / 127.0
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[:, None, None, None]),
+    absmax = jnp.maximum(
+        jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2, 3)), 1e-6)
+    # multiply by 127/amax (not divide by the scale): bit-identical to the
+    # in-kernel _quant_vmem so tiled/whole-image paths quantize alike
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32)
+                            * (127.0 / absmax)[:, None, None, None]),
                   -127, 127).astype(jnp.int8)
-    return xq, scale[:, None]
+    return xq, (absmax / 127.0)[:, None]
 
 
 # --------------------------------------------------------------------------- #
@@ -353,3 +356,183 @@ def quantize_resnet_trunk(params: Dict[str, Any],
                           n_blocks: int) -> List[Dict[str, jnp.ndarray]]:
     """Quantize the ``res_i`` blocks of a ResnetGenerator param tree."""
     return [quantize_resblock(params[f"res_{i}"]) for i in range(n_blocks)]
+
+
+def quantize_global_trunk(params: Dict[str, Any],
+                          n_blocks: int) -> List[Dict[str, jnp.ndarray]]:
+    """Quantize the res blocks of a GlobalGenerator param tree
+    (``models.pix2pixhd.GlobalGenerator``: blocks live under ``trunk``)."""
+    return [quantize_resblock(params["trunk"][f"res_{i}"])
+            for i in range(n_blocks)]
+
+
+# --------------------------------------------------------------------------- #
+# Cout-tiled variant — for trunks whose per-block weights exceed VMEM
+# (pix2pixHD GlobalGenerator: 1024-channel blocks are 2×9·1024² int8 ≈ 19 MB).
+# Each res block runs as TWO kernels over a (batch, cout-tile) grid:
+#   A: conv1 (full cin × one cout tile) → IN → ReLU → per-TILE int8 quant
+#   B: conv2 with per-GROUP rescale (the tile scales from A fold into the
+#      int32→fp32 conversion group by group) → IN → +full-precision skip
+# The activation image stays whole in VMEM across tile steps (the grid
+# iterates tiles innermost so the image block is revisited, not re-fetched);
+# only the weight tile streams from HBM — which is the unavoidable traffic,
+# since these blocks are weight-dominated (arithmetic intensity ≈ C MAC/B).
+# Per-tile activation scales are finer-grained than the whole-image kernel's
+# per-tensor scale, so fidelity is equal or better.
+# --------------------------------------------------------------------------- #
+def _resblock_a_kernel(hq_ref, hs_ref, w1_ref, sb_ref, rq_ref, rs_ref, *,
+                       h: int, w: int, c: int, ct: int, eps: float):
+    hw = h * w
+    x_scale = hs_ref[0, 0]
+    xp = _reflect_pad1(hq_ref[0], h, w)
+    f = _conv9_int8(xp, w1_ref, h, w, c, ct).astype(jnp.float32)
+    f = f * (x_scale * sb_ref[0][None, :]) + sb_ref[1][None, :]
+    r = jnp.maximum(_inorm(f, hw, eps), 0.0)
+    rq, r_scale = _quant_vmem(r)
+    rs_ref[0, 0] = r_scale
+    rq_ref[0] = rq.reshape(h, w, ct)
+
+
+def _resblock_b_kernel(rq_ref, rs_ref, w2_ref, sb_ref, hx_ref, out_ref, *,
+                       h: int, w: int, c: int, ct: int, eps: float):
+    hw = h * w
+    n_groups = c // ct
+    rp = _reflect_pad1(rq_ref[0], h, w)
+    f = jnp.zeros((hw, ct), jnp.float32)
+    for g in range(n_groups):
+        lo = g * ct
+        acc = jnp.zeros((hw, ct), jnp.int32)
+        for k in range(9):
+            dy, dx = k // 3, k % 3
+            patch = rp[dy:dy + h, dx:dx + w, lo:lo + ct].reshape(hw, ct)
+            acc = acc + jnp.dot(patch, w2_ref[k, lo:lo + ct, :],
+                                preferred_element_type=jnp.int32)
+        f = f + acc.astype(jnp.float32) * rs_ref[0, g]
+    f = f * sb_ref[2][None, :] + sb_ref[3][None, :]
+    hnew = _inorm(f, hw, eps) + hx_ref[0].astype(jnp.float32).reshape(hw, ct)
+    out_ref[0] = hnew.reshape(h, w, ct).astype(out_ref.dtype)
+
+
+def _run_resblock_int8_tiled(hx: jnp.ndarray, qblk: Dict[str, jnp.ndarray],
+                             ct: int, eps: float = _EPS,
+                             interpret: bool = False) -> jnp.ndarray:
+    n, h, w, c = hx.shape
+    t = c // ct
+    hq, hs = quantize_act(hx)
+
+    img_spec = pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((1, h, w, ct), lambda i, j: (i, 0, 0, j),
+                             memory_space=pltpu.VMEM)
+    w_tile = pl.BlockSpec((9, c, ct), lambda i, j: (0, 0, j),
+                          memory_space=pltpu.VMEM)
+    sb_tile = pl.BlockSpec((4, ct), lambda i, j: (0, j),
+                           memory_space=pltpu.VMEM)
+    s_img = pl.BlockSpec((1, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.SMEM)
+    s_tile = pl.BlockSpec((1, 1), lambda i, j: (i, j),
+                          memory_space=pltpu.SMEM)
+    s_row = pl.BlockSpec((1, t), lambda i, j: (i, 0),
+                         memory_space=pltpu.SMEM)
+
+    flops_half = 2 * n * h * w * 9 * c * c
+    rq, rs = pl.pallas_call(
+        functools.partial(_resblock_a_kernel, h=h, w=w, c=c, ct=ct, eps=eps),
+        grid=(n, t),
+        in_specs=[img_spec, s_img, w_tile, sb_tile],
+        out_specs=(tile_spec, s_tile),
+        out_shape=(jax.ShapeDtypeStruct((n, h, w, c), jnp.int8),
+                   jax.ShapeDtypeStruct((n, t), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_half,
+            bytes_accessed=n * h * w * c * 2 + 9 * c * c, transcendentals=0),
+        interpret=interpret,
+    )(hq, hs, qblk["w1q"], qblk["sb"])
+    out = pl.pallas_call(
+        functools.partial(_resblock_b_kernel, h=h, w=w, c=c, ct=ct, eps=eps),
+        grid=(n, t),
+        in_specs=[img_spec, s_row, w_tile, sb_tile, tile_spec],
+        out_specs=tile_spec,
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c), hx.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_half,
+            bytes_accessed=n * h * w * c * (1 + 2 * hx.dtype.itemsize)
+            + 9 * c * c, transcendentals=0),
+        interpret=interpret,
+    )(rq, rs, qblk["w2q"], qblk["sb"], hx)
+    return out
+
+
+def _resblock_int8_tiled_emulate(hx, qblk, ct, eps=_EPS):
+    """XLA emulation with identical per-tile math (CPU / parity tests)."""
+    n, h, w, c = hx.shape
+    hw, t = h * w, c // ct
+    hq, hs = quantize_act(hx)
+    hqf = hq.astype(jnp.int32)
+
+    def conv9(xq, wq):
+        xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        acc = jnp.zeros((n, hw, wq.shape[-1]), jnp.int32)
+        for k in range(9):
+            dy, dx = k // 3, k % 3
+            patch = xp[:, dy:dy + h, dx:dx + w, :].reshape(n, hw, -1)
+            acc = acc + jnp.einsum("npi,io->npo", patch.astype(jnp.int32),
+                                   wq[k].astype(jnp.int32))
+        return acc
+
+    def inorm(f):
+        mean = jnp.mean(f, axis=1, keepdims=True)
+        var = jnp.maximum(jnp.mean(f * f, axis=1, keepdims=True)
+                          - mean * mean, 0.0)
+        return (f - mean) * jax.lax.rsqrt(var + eps)
+
+    sb = qblk["sb"]
+    f = conv9(hq, qblk["w1q"]).astype(jnp.float32)
+    f = f * (hs[:, :, None] * sb[0][None, None, :]) + sb[1][None, None, :]
+    r = jnp.maximum(inorm(f), 0.0)                      # (n, hw, c)
+    # per-tile quantization (matches kernel A's per-(image, tile) scales)
+    rt = r.reshape(n, hw, t, ct)
+    rmax = jnp.maximum(jnp.max(jnp.abs(rt), axis=(1, 3), keepdims=True), 1e-6)
+    rq = jnp.clip(jnp.round(rt * (127.0 / rmax)), -127, 127) \
+        .astype(jnp.int8).reshape(n, h, w, c)
+    # the kernel rescales the second conv group-by-group (per-tile r scales)
+    rp = jnp.pad(rq, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    f2 = jnp.zeros((n, hw, c), jnp.float32)
+    for g in range(t):
+        lo = g * ct
+        acc = jnp.zeros((n, hw, c), jnp.int32)
+        for k in range(9):
+            dy, dx = k // 3, k % 3
+            patch = rp[:, dy:dy + h, dx:dx + w, lo:lo + ct].reshape(n, hw, ct)
+            acc = acc + jnp.einsum("npi,io->npo", patch.astype(jnp.int32),
+                                   qblk["w2q"][k, lo:lo + ct, :]
+                                   .astype(jnp.int32))
+        scale_g = (rmax[:, :, g, :] / 127.0)            # (n, 1, 1)
+        f2 = f2 + acc.astype(jnp.float32) * scale_g
+    f2 = f2 * sb[2][None, None, :] + sb[3][None, None, :]
+    hnew = inorm(f2) + hx.astype(jnp.float32).reshape(n, hw, c)
+    return hnew.reshape(n, h, w, c).astype(hx.dtype)
+
+
+def resblock_chain_int8_tiled(x: jnp.ndarray,
+                              qblocks: Sequence[Dict[str, Any]],
+                              cout_tile: int = 128, eps: float = _EPS,
+                              interpret: bool = False,
+                              force_emulate: bool = False) -> jnp.ndarray:
+    """Cout-tiled int8 res-block chain (full-precision carrier).
+
+    For trunks too large for the whole-image kernel (weights per block
+    ``2·9·C² > VMEM``). ``cout_tile`` must divide C and be lane-aligned.
+    """
+    n, h, w, c = x.shape
+    if c % cout_tile:
+        raise ValueError(f"cout_tile {cout_tile} must divide C={c}")
+    use_kernel = (interpret or _on_tpu()) and not force_emulate \
+        and h >= 3 and w >= 3
+    hx = x
+    for qblk in qblocks:
+        if use_kernel:
+            hx = _run_resblock_int8_tiled(hx, qblk, cout_tile, eps, interpret)
+        else:
+            hx = _resblock_int8_tiled_emulate(hx, qblk, cout_tile, eps)
+    return hx

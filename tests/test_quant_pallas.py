@@ -124,3 +124,64 @@ def test_int8_trunk_apply_runs():
     y_q = resnet_generator_int8_trunk_apply(params, q, x, 2)
     assert y_q.shape == y_ref.shape
     assert float(jnp.max(jnp.abs(y_q - y_ref))) < 0.3
+
+
+# --------------------------------------------------------------------------- #
+# Cout-tiled variant (GlobalGenerator-sized trunks)
+# --------------------------------------------------------------------------- #
+def test_int8_tiled_kernel_matches_emulation(data):
+    from cistar_tpu.ops.quant_pallas import (_resblock_int8_tiled_emulate,
+                                             _run_resblock_int8_tiled)
+
+    x, _, qblks = data
+    ky = _run_resblock_int8_tiled(x, qblks[0], ct=64, interpret=True)
+    ey = _resblock_int8_tiled_emulate(x, qblks[0], ct=64)
+    np.testing.assert_allclose(np.asarray(ky), np.asarray(ey),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_int8_tiled_chain_close_to_fp32(data):
+    from cistar_tpu.ops.quant_pallas import resblock_chain_int8_tiled
+
+    x, blks, qblks = data
+    y_ref = x
+    for b in blks:
+        y_ref = _ref_block(y_ref, b)
+    y_q = resblock_chain_int8_tiled(x, qblks, cout_tile=64,
+                                    force_emulate=True)
+    err = float(jnp.mean(jnp.abs(y_q - y_ref)))
+    sig = float(jnp.std(y_ref))
+    assert err / sig < 0.05, (err, sig)
+
+
+def test_int8_tiled_matches_whole_image_scales_modulo_tiling(data):
+    """Single tile (ct == C) must reduce to the bf16io whole-image math."""
+    from cistar_tpu.ops.quant_pallas import resblock_chain_int8_tiled
+
+    x, _, qblks = data
+    y_tiled = resblock_chain_int8_tiled(x, qblks[:1], cout_tile=C,
+                                        force_emulate=True)
+    y_whole = _resblock_int8_bf16io_emulate(x, qblks[0])
+    # same per-tensor r scale when there is one tile; only the outer x
+    # quantization differs (tiled quantizes the carrier, bf16io is identical
+    # there too) — expect near-equality
+    np.testing.assert_allclose(np.asarray(y_tiled), np.asarray(y_whole),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_global_generator_int8_trunk_apply():
+    from cistar_tpu.models.fast_infer import global_generator_int8_trunk_apply
+    from cistar_tpu.models.pix2pixhd import GlobalGenerator
+    from cistar_tpu.ops.quant_pallas import quantize_global_trunk
+
+    model = GlobalGenerator(output_nc=1, ngf=8, n_downsampling=2, n_blocks=2)
+    x = jnp.asarray(np.random.RandomState(2).rand(1, 64, 64, 1)
+                    .astype(np.float32) * 2 - 1)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    q = quantize_global_trunk(params, 2)
+    assert q[0]["w1q"].shape == (9, 32, 32)
+    y_ref = model.apply({"params": params}, x)
+    y_q = global_generator_int8_trunk_apply(params, q, x, n_downsampling=2,
+                                            n_blocks=2, cout_tile=16)
+    assert y_q.shape == y_ref.shape
+    assert float(jnp.max(jnp.abs(y_q - y_ref))) < 0.3
