@@ -20,6 +20,8 @@ from __future__ import annotations
 from functools import partial
 from typing import Optional, Tuple, Union
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -245,6 +247,24 @@ def max_pool2d(x: jnp.ndarray, kernel: IntOr2, stride: Optional[IntOr2] = None,
     return _max_pool_reduce(x, k, s, p)
 
 
+@functools.lru_cache(maxsize=None)
+def _pool_counts(h: int, w: int, k, s, p):
+    """Reciprocal valid-element counts per output pixel for
+    count_include_pad=False average pooling ((ho, wo) float32 numpy)."""
+    import numpy as _np
+
+    padded = _np.zeros((h + 2 * p[0], w + 2 * p[1]), _np.float32)
+    padded[p[0]:p[0] + h, p[1]:p[1] + w] = 1.0
+    ho = (h + 2 * p[0] - k[0]) // s[0] + 1
+    wo = (w + 2 * p[1] - k[1]) // s[1] + 1
+    cnt = _np.zeros((ho, wo), _np.float32)
+    for dy in range(k[0]):
+        for dx in range(k[1]):
+            cnt += padded[dy:dy + (ho - 1) * s[0] + 1:s[0],
+                          dx:dx + (wo - 1) * s[1] + 1:s[1]]
+    return 1.0 / cnt
+
+
 def avg_pool2d(x: jnp.ndarray, kernel: IntOr2, stride: Optional[IntOr2] = None,
                padding: IntOr2 = 0, count_include_pad: bool = True) -> jnp.ndarray:
     """Average pool matching torch ``nn.AvgPool2d`` (count_include_pad=True default)."""
@@ -259,14 +279,13 @@ def avg_pool2d(x: jnp.ndarray, kernel: IntOr2, stride: Optional[IntOr2] = None,
     if count_include_pad or (p[0] == 0 and p[1] == 0):
         out = summed / (k[0] * k[1])
     else:
-        ones = jnp.ones(x.shape[:3] + (1,), jnp.float32)
-        counts = lax.reduce_window(
-            ones, 0.0, lax.add,
-            window_dimensions=(1, k[0], k[1], 1),
-            window_strides=(1, s[0], s[1], 1),
-            padding=((0, 0), (p[0], p[0]), (p[1], p[1]), (0, 0)),
-        )
-        out = summed / counts
+        # edge-window counts, computed in numpy at trace time: shapes are
+        # static, and a traced reduce_window(ones) makes XLA constant-fold a
+        # full-resolution array per call site — minutes of compile in big
+        # train steps (multiscale-D pyramids + their jvp/transpose copies)
+        counts = jnp.asarray(
+            _pool_counts(x.shape[1], x.shape[2], k, s, p))[None, :, :, None]
+        out = summed * counts
     return out.astype(x.dtype)
 
 
