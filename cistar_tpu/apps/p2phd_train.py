@@ -86,6 +86,12 @@ def main(argv=None):
     logger = MetricsLogger(save_dir, opt.niter + opt.niter_decay, len(loader),
                            start_epoch=start_epoch, log_every=max(1, opt.print_freq))
 
+    print(f"#training images = {len(dataset)}", flush=True)
+
+    import time as _time
+
+    _t_first = _time.time()
+    first_step = True
     total_iter = (start_epoch - 1) * len(dataset) + epoch_iter
     for epoch in range(start_epoch, opt.niter + opt.niter_decay + 1):
         state = state._replace(epoch=jnp.asarray(epoch - 1, jnp.int32))
@@ -95,6 +101,12 @@ def main(argv=None):
             dev = shard_batch(arrs, mesh)
             state, metrics, _fake = engine.train_step(
                 state, dev["label"], None, dev["image"])
+            if first_step:
+                # force the compile+execute to finish so the message is honest
+                jax.device_get(metrics)
+                print(f"first step done (compile+run "
+                      f"{_time.time() - _t_first:.1f}s)", flush=True)
+                first_step = False
             total_iter += opt.batchSize
             logger.log({k: v for k, v in metrics.items()},
                        n_images=arrs["label"].shape[0])

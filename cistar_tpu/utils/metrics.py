@@ -14,7 +14,7 @@ import logging
 import os
 import sys
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -71,6 +71,7 @@ class MetricsLogger:
         self.log_every = log_every
         self.sums: Dict[str, float] = {}
         self.counts: Dict[str, int] = {}
+        self._pending: List[Dict[str, Any]] = []
         self.history: List[Dict[str, float]] = []
         self._csv_path = os.path.join(out_dir, "loss_log.csv")
         self._jsonl_path = os.path.join(out_dir, "loss_log.jsonl")
@@ -78,16 +79,34 @@ class MetricsLogger:
         self._images_seen = 0
 
     def log(self, losses: Dict[str, float], n_images: int = 0) -> None:
+        """Record one step's losses. Device arrays are NOT fetched here —
+        ``float()`` per metric per step is a host sync each (on the
+        axon-tunneled backend that would serialize training on RTTs); values
+        are buffered as-is and fetched in one ``device_get`` at print time."""
         self.batch += 1
         self._images_seen += n_images
-        for k, v in losses.items():
-            v = float(v)
-            self.sums[k] = self.sums.get(k, 0.0) + v
-            self.counts[k] = self.counts.get(k, 0) + 1
+        self._pending.append(dict(losses))
         if self.batch % self.log_every == 0:
+            self._drain()
             self._print()
 
+    def _drain(self) -> None:
+        if not self._pending:
+            return
+        try:
+            import jax
+
+            fetched = jax.device_get(self._pending)  # one transfer for all
+        except Exception:
+            fetched = self._pending
+        for rec in fetched:
+            for k, v in rec.items():
+                self.sums[k] = self.sums.get(k, 0.0) + float(v)
+                self.counts[k] = self.counts.get(k, 0) + 1
+        self._pending = []
+
     def means(self) -> Dict[str, float]:
+        self._drain()
         return {k: self.sums[k] / max(1, self.counts[k]) for k in self.sums}
 
     def _print(self) -> None:
