@@ -118,8 +118,14 @@ class BaseOptions:
             given = argv if argv is not None else sys.argv[1:]
             provided = {a.split("=")[0].lstrip("-").replace("-", "_")
                         for a in given if a.startswith("--")}
+            # environment-specific keys describe the machine the snapshot was
+            # WRITTEN on, not the one we run on — restoring `platform: cpu`
+            # from a reference-written opt.txt would silently move training
+            # off the TPU (and gpu_ids/nThreads are equally non-portable)
+            env_keys = {"platform", "gpu_ids", "nThreads", "local_rank",
+                        "checkpoints_dir", "dataroot"}
             for k, v in legacy.items():
-                if hasattr(opt, k) and k not in provided:
+                if hasattr(opt, k) and k not in provided and k not in env_keys:
                     if v == "inf":
                         v = float("inf")
                     setattr(opt, k, v)

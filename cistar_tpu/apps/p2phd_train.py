@@ -94,7 +94,14 @@ def main(argv=None):
     first_step = True
     total_iter = (start_epoch - 1) * len(dataset) + epoch_iter
     for epoch in range(start_epoch, opt.niter + opt.niter_decay + 1):
-        state = state._replace(epoch=jnp.asarray(epoch - 1, jnp.int32))
+        # keep the epoch scalar's sharding identical to the state leaf it
+        # replaces — a fresh unsharded scalar in an otherwise mesh-sharded
+        # state changes the jit signature and recompiles the whole step
+        # every epoch (~80 s each on the tunneled backend)
+        ep_arr = jnp.asarray(epoch - 1, jnp.int32)
+        if hasattr(state.epoch, "sharding"):
+            ep_arr = jax.device_put(ep_arr, state.epoch.sharding)
+        state = state._replace(epoch=ep_arr)
         for batch in loader:
             arrs = {"label": batch["label"], "image": batch["image"]}
             arrs, _ = pad_batch_to_multiple(arrs, n_dev)
