@@ -37,6 +37,10 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
+    from cistar_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from cistar_tpu.models.cyclegan import ResnetGenerator
     from cistar_tpu.models.fast_infer import resnet_generator_int8_trunk_apply
     from cistar_tpu.ops.quant_pallas import quantize_resnet_trunk

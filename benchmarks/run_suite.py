@@ -126,12 +126,70 @@ def bench_p2phd_train(size: int, net_g: str, num_d: int, iters: int = 5):
             "value": round(dt, 4), "unit": "s/step", "vs_baseline": 0.0}
 
 
+def bench_p2phd_infer(size: int = 512, batch: int = 16, iters: int = 10,
+                      engine: str = "int8", ngf: int = 64,
+                      n_downsampling: int = 4):
+    """GlobalGenerator inference throughput — the reference's TRT engine
+    workload (``run_engine.py:160-165``), bf16 XLA vs the int8 tiled-trunk
+    megakernel path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cistar_tpu.models.fast_infer import global_generator_int8_trunk_apply
+    from cistar_tpu.models.pix2pixhd import GlobalGenerator
+    from cistar_tpu.ops.quant_pallas import quantize_global_trunk
+
+    model = GlobalGenerator(output_nc=1, ngf=ngf,
+                            n_downsampling=n_downsampling, n_blocks=9)
+    rng = np.random.RandomState(0)
+    x0 = jnp.zeros((1, size, size, 1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x0)["params"]
+    qblocks = quantize_global_trunk(params, 9)
+
+    @jax.jit
+    def infer_bf16(p, x):
+        return model.apply({"params": p},
+                           x.astype(jnp.bfloat16)).astype(jnp.float32)
+
+    @jax.jit
+    def infer_int8(p, q, x):
+        return global_generator_int8_trunk_apply(
+            p, q, x.astype(jnp.bfloat16),
+            n_downsampling=n_downsampling).astype(jnp.float32)
+
+    batch_x = jnp.asarray(rng.rand(batch, size, size, 1)
+                          .astype(np.float32) * 2 - 1)
+
+    def measure(f, *extra):
+        x = f(*extra, batch_x)
+        _sync(x)
+        x = f(*extra, x)
+        _sync(x)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            x = f(*extra, x)
+        _sync(x)
+        return batch * iters / (time.perf_counter() - t0)
+
+    bf16 = measure(infer_bf16, params)
+    if engine == "int8":
+        ips = measure(infer_int8, params, qblocks)
+    else:
+        ips = bf16
+    return {"metric": f"p2phd_global_{size}sq_{engine}_infer_throughput",
+            "value": round(ips, 1), "unit": "images/sec/chip",
+            "vs_baseline": round(ips / max(bf16, 1e-9), 3),
+            "bf16_img_s": round(bf16, 1)}
+
+
 CONFIGS = {
     "gatys256": lambda: bench_gatys(256, 300),
     "gatys_hr": lambda: bench_gatys(512, 300, hr=True),
     "cyclegan256": lambda: bench_cyclegan_train(256, 4),
     "p2phd512": lambda: bench_p2phd_train(512, "global", 2),
     "p2phd1024": lambda: bench_p2phd_train(1024, "local", 3),
+    "p2phd512_int8": lambda: bench_p2phd_infer(512, engine="int8"),
 }
 
 

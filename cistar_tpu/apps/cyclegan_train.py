@@ -50,6 +50,9 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms",
                           "axon" if args.platform == "tpu" else args.platform)
+    from cistar_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

@@ -43,6 +43,10 @@ def main(argv=None):
         jax.config.update("jax_platforms",
                           "axon" if args.platform == "tpu" else args.platform)
 
+    from cistar_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax.numpy as jnp
     from cistar_tpu.core.config import get_ist_cfg_defaults
     from cistar_tpu.data.transforms import load_image, pil_polar_transform

@@ -135,6 +135,10 @@ class BaseOptions:
             jax.config.update("jax_platforms",
                               "axon" if opt.platform == "tpu" else opt.platform)
 
+        from cistar_tpu.core.cache import enable_compilation_cache
+
+        enable_compilation_cache()
+
         self.opt = opt
         if save and opt.isTrain:
             expr_dir = os.path.join(opt.checkpoints_dir, opt.name)

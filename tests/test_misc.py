@@ -218,3 +218,19 @@ def test_label_viz_colormaps():
     # r2l mode (n_label=0): grayscale passthrough
     g = tensor2label(np.full((4, 4, 1), 0.5, np.float32), 0)
     assert g.dtype == np.uint8 and g[0, 0] == 127
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    import jax
+
+    from cistar_tpu.core.cache import enable_compilation_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        p = enable_compilation_cache(str(tmp_path / "xla"))
+        assert p == str(tmp_path / "xla")
+        assert jax.config.jax_compilation_cache_dir == p
+        monkeypatch.setenv("CISTAR_NO_COMPILE_CACHE", "1")
+        assert enable_compilation_cache(str(tmp_path / "other")) is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
