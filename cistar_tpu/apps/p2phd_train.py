@@ -94,14 +94,13 @@ def main(argv=None):
     first_step = True
     total_iter = (start_epoch - 1) * len(dataset) + epoch_iter
     for epoch in range(start_epoch, opt.niter + opt.niter_decay + 1):
-        # keep the epoch scalar's sharding identical to the state leaf it
-        # replaces — a fresh unsharded scalar in an otherwise mesh-sharded
-        # state changes the jit signature and recompiles the whole step
-        # every epoch (~80 s each on the tunneled backend)
-        ep_arr = jnp.asarray(epoch - 1, jnp.int32)
-        if hasattr(state.epoch, "sharding"):
-            ep_arr = jax.device_put(ep_arr, state.epoch.sharding)
-        state = state._replace(epoch=ep_arr)
+        # derive the new epoch scalar FROM the existing leaf so its
+        # placement/sharding/dtype are inherited — a fresh host scalar in an
+        # otherwise device-resident state changes the jit signature and
+        # recompiles the whole step every epoch (~80 s each on the tunneled
+        # backend), while committing it to one device breaks mesh runs
+        state = state._replace(
+            epoch=(state.epoch * 0 + (epoch - 1)).astype(jnp.int32))
         for batch in loader:
             arrs = {"label": batch["label"], "image": batch["image"]}
             arrs, _ = pad_batch_to_multiple(arrs, n_dev)
