@@ -25,6 +25,14 @@ def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
     try:
         import jax
 
+        # the tunneled axon backend HANGS with the persistent cache enabled
+        # (remote-compile and the cache's executable serialization deadlock)
+        # — measured: even a trivial jit never returns. CPU/real-TPU only.
+        platforms = (os.environ.get("JAX_PLATFORMS", "")
+                     or (jax.config.jax_platforms or ""))
+        if "axon" in platforms:
+            return None
+
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # big GAN steps are exactly the compiles worth keeping; the default
