@@ -116,7 +116,7 @@ def global_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
                                       x: jnp.ndarray,
                                       n_downsampling: int = 4,
                                       n_blocks: int = 9,
-                                      cout_tile: int = 128) -> jnp.ndarray:
+                                      cout_tile: int = 256) -> jnp.ndarray:
     """GlobalGenerator forward with the res trunk on the int8 MXU.
 
     The reference's TensorRT-int8 engine is exactly this network
@@ -127,6 +127,9 @@ def global_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
     configs whose blocks fit whole-image use the fused single kernel.
     ``qblocks`` comes from ``quant_pallas.quantize_global_trunk`` over the
     same param tree.
+
+    Measured (v5e chip, 512², ngf 64, nd 4, batch 16): 275 img/s vs 223
+    bf16-XLA (1.23×); cout_tile 256 beats 128 (267) and 512 exceeds VMEM.
     """
     from cistar_tpu.ops.quant_pallas import (resblock_chain_int8_bf16io,
                                              resblock_chain_int8_tiled)

@@ -382,14 +382,16 @@ def quantize_global_trunk(params: Dict[str, Any],
 # --------------------------------------------------------------------------- #
 def _resblock_a_kernel(hq_ref, hs_ref, w1_ref, sb_ref, rq_ref, rs_ref, *,
                        h: int, w: int, c: int, ct: int, eps: float):
+    # scalar refs are (1,1,1)-blocked over (n·t,1,1) arrays — Mosaic requires
+    # the last two block dims to equal the array's (or be 8/128-multiples)
     hw = h * w
-    x_scale = hs_ref[0, 0]
+    x_scale = hs_ref[0, 0, 0]
     xp = _reflect_pad1(hq_ref[0], h, w)
     f = _conv9_int8(xp, w1_ref, h, w, c, ct).astype(jnp.float32)
     f = f * (x_scale * sb_ref[0][None, :]) + sb_ref[1][None, :]
     r = jnp.maximum(_inorm(f, hw, eps), 0.0)
     rq, r_scale = _quant_vmem(r)
-    rs_ref[0, 0] = r_scale
+    rs_ref[0, 0, 0] = r_scale
     rq_ref[0] = rq.reshape(h, w, ct)
 
 
@@ -407,7 +409,7 @@ def _resblock_b_kernel(rq_ref, rs_ref, w2_ref, sb_ref, hx_ref, out_ref, *,
             patch = rp[dy:dy + h, dx:dx + w, lo:lo + ct].reshape(hw, ct)
             acc = acc + jnp.dot(patch, w2_ref[k, lo:lo + ct, :],
                                 preferred_element_type=jnp.int32)
-        f = f + acc.astype(jnp.float32) * rs_ref[0, g]
+        f = f + acc.astype(jnp.float32) * rs_ref[g, 0, 0]
     f = f * sb_ref[2][None, :] + sb_ref[3][None, :]
     hnew = _inorm(f, hw, eps) + hx_ref[0].astype(jnp.float32).reshape(hw, ct)
     out_ref[0] = hnew.reshape(h, w, ct).astype(out_ref.dtype)
@@ -428,11 +430,13 @@ def _run_resblock_int8_tiled(hx: jnp.ndarray, qblk: Dict[str, jnp.ndarray],
                           memory_space=pltpu.VMEM)
     sb_tile = pl.BlockSpec((4, ct), lambda i, j: (0, j),
                            memory_space=pltpu.VMEM)
-    s_img = pl.BlockSpec((1, 1), lambda i, j: (i, 0),
+    # Mosaic: last two block dims must be 8/128-multiples OR equal the array
+    # dims — so scalars live in (n·t, 1, 1) arrays with (·, 1, 1) blocks
+    s_img = pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM)
-    s_tile = pl.BlockSpec((1, 1), lambda i, j: (i, j),
+    s_tile = pl.BlockSpec((1, 1, 1), lambda i, j: (i * t + j, 0, 0),
                           memory_space=pltpu.SMEM)
-    s_row = pl.BlockSpec((1, t), lambda i, j: (i, 0),
+    s_row = pl.BlockSpec((t, 1, 1), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM)
 
     flops_half = 2 * n * h * w * 9 * c * c
@@ -442,12 +446,12 @@ def _run_resblock_int8_tiled(hx: jnp.ndarray, qblk: Dict[str, jnp.ndarray],
         in_specs=[img_spec, s_img, w_tile, sb_tile],
         out_specs=(tile_spec, s_tile),
         out_shape=(jax.ShapeDtypeStruct((n, h, w, c), jnp.int8),
-                   jax.ShapeDtypeStruct((n, t), jnp.float32)),
+                   jax.ShapeDtypeStruct((n * t, 1, 1), jnp.float32)),
         cost_estimate=pl.CostEstimate(
             flops=flops_half,
             bytes_accessed=n * h * w * c * 2 + 9 * c * c, transcendentals=0),
         interpret=interpret,
-    )(hq, hs, qblk["w1q"], qblk["sb"])
+    )(hq, hs.reshape(n, 1, 1), qblk["w1q"], qblk["sb"])
     out = pl.pallas_call(
         functools.partial(_resblock_b_kernel, h=h, w=w, c=c, ct=ct, eps=eps),
         grid=(n, t),
