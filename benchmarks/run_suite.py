@@ -190,7 +190,55 @@ CONFIGS = {
     "p2phd512": lambda: bench_p2phd_train(512, "global", 2),
     "p2phd1024": lambda: bench_p2phd_train(1024, "local", 3),
     "p2phd512_int8": lambda: bench_p2phd_infer(512, engine="int8"),
+    "unet512_int8": lambda: bench_unet_infer(512),
 }
+
+
+def bench_unet_infer(size: int = 512, batch: int = 8, iters: int = 10):
+    """UNet-MSRB inference (the shipped r2l deployment model) — bf16 XLA vs
+    the int8 MSRB-trunk megakernel path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cistar_tpu.models.fast_infer import (quantize_unet_msrb,
+                                              unet_msrb_int8_apply)
+    from cistar_tpu.models.pix2pixhd import UNetGeneratorHD
+
+    m = UNetGeneratorHD(output_nc=1, n_residual_blocks=3, in_features=64)
+    params = m.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, size, size, 1)))["params"]
+    q = quantize_unet_msrb(params, 3)
+    rng = np.random.RandomState(0)
+    bx = jnp.asarray(rng.rand(batch, size, size, 1).astype(np.float32) * 2 - 1)
+
+    @jax.jit
+    def infer_bf16(p, x):
+        return m.apply({"params": p},
+                       x.astype(jnp.bfloat16)).astype(jnp.float32)
+
+    @jax.jit
+    def infer_int8(p, qb, x):
+        return unet_msrb_int8_apply(p, qb, x.astype(jnp.bfloat16),
+                                    3).astype(jnp.float32)
+
+    def measure(f, *extra):
+        x = f(*extra, bx)
+        _sync(x)
+        x = f(*extra, x)
+        _sync(x)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            x = f(*extra, x)
+        _sync(x)
+        return batch * iters / (time.perf_counter() - t0)
+
+    bf16 = measure(infer_bf16, params)
+    ips = measure(infer_int8, params, q)
+    return {"metric": f"p2phd_unet_msrb_{size}sq_int8_infer_throughput",
+            "value": round(ips, 1), "unit": "images/sec/chip",
+            "vs_baseline": round(ips / max(bf16, 1e-9), 3),
+            "bf16_img_s": round(bf16, 1)}
 
 
 def main(argv=None):

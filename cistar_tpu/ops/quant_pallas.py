@@ -540,3 +540,202 @@ def resblock_chain_int8_tiled(x: jnp.ndarray,
         else:
             hx = _resblock_int8_tiled_emulate(hx, qblk, cout_tile, eps)
     return hx
+
+
+# --------------------------------------------------------------------------- #
+# MSRB int8 stage kernel — the UNet-MSRB trunk (the shipped r2l experiment,
+# ``networks.py:1028-1055``). Each MSRB stage is a pair of parallel 3x3/5x5
+# zero-padded convs + bias + ReLU over the same input; one kernel computes
+# BOTH branches for one cout tile with per-input-group scales (the tile
+# scales of the previous stage), so the whole block needs only two kernel
+# launches + a tiny bf16 1x1 fuse in XLA.
+# --------------------------------------------------------------------------- #
+def quantize_msrb(blk: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+    """Quantize one MSRB param subtree (b00/b01/b10/b11 convs; the 1x1
+    ``out_conv`` stays bf16 — it is <2%% of the block's MACs)."""
+    w3a, s3a = _quantize_kernel_taps(blk["b00_conv"]["w"])   # (9, n, n)
+    w5a, s5a = _quantize_kernel_taps(blk["b01_conv"]["w"])   # (25, n, n)
+    w3b, s3b = _quantize_kernel_taps(blk["b10_conv"]["w"])   # (9, 2n, n)
+    w5b, s5b = _quantize_kernel_taps(blk["b11_conv"]["w"])   # (25, 2n, n)
+    n = w3a.shape[-1]
+    z = jnp.zeros(n, jnp.float32)
+    sb1 = jnp.stack([s3a, jnp.asarray(blk["b00_conv"].get("b", z),
+                                      jnp.float32),
+                     s5a, jnp.asarray(blk["b01_conv"].get("b", z),
+                                      jnp.float32)], axis=0)
+    sb2 = jnp.stack([s3b, jnp.asarray(blk["b10_conv"].get("b", z),
+                                      jnp.float32),
+                     s5b, jnp.asarray(blk["b11_conv"].get("b", z),
+                                      jnp.float32)], axis=0)
+    return {"w3a": w3a, "w5a": w5a, "sb1": sb1,
+            "w3b": w3b, "w5b": w5b, "sb2": sb2,
+            "w1x1": jnp.asarray(blk["out_conv"]["w"], jnp.float32),
+            "b1x1": jnp.asarray(blk["out_conv"].get("b", z), jnp.float32)}
+
+
+def _zero_pad2d(x: jnp.ndarray, h: int, w: int, p: int) -> jnp.ndarray:
+    zr = jnp.zeros((p, w, x.shape[-1]), x.dtype)
+    xv = jnp.concatenate([zr, x, zr], axis=0)
+    zc = jnp.zeros((h + 2 * p, p, x.shape[-1]), x.dtype)
+    return jnp.concatenate([zc, xv, zc], axis=1)
+
+
+def _msrb_branch_kernel(xq_ref, xs_ref, w_ref, sb_ref, o_ref, s_ref, *,
+                        h: int, w: int, cin: int, ct: int, gin: int,
+                        kk: int, sb_row: int, quant_out: bool):
+    """One conv branch (kk×kk zero-padded) + bias + ReLU (+quantize).
+
+    A branch per kernel keeps VMEM bounded: only ONE padded copy of the
+    input and one weight tile are resident (both branches together blew the
+    budget at the 1024-channel stage-2 shape)."""
+    hw = h * w
+    cg = cin // gin
+    pad = kk // 2
+    xp = _zero_pad2d(xq_ref[0], h, w, pad)
+    f = jnp.zeros((hw, ct), jnp.float32)
+    for g in range(gin):
+        lo = g * cg
+        acc = jnp.zeros((hw, ct), jnp.int32)
+        for k in range(kk * kk):
+            dy, dx = k // kk, k % kk
+            patch = xp[dy:dy + h, dx:dx + w, lo:lo + cg].reshape(hw, cg)
+            acc = acc + jnp.dot(patch, w_ref[k, lo:lo + cg, :],
+                                preferred_element_type=jnp.int32)
+        f = f + acc.astype(jnp.float32) * xs_ref[g, 0, 0]
+    f = jnp.maximum(f * sb_ref[2 * sb_row][None, :]
+                    + sb_ref[2 * sb_row + 1][None, :], 0.0)
+    if quant_out:
+        q, sc = _quant_vmem(f)
+        o_ref[0] = q.reshape(h, w, ct)
+        s_ref[0, 0, 0] = sc
+    else:
+        o_ref[0] = f.reshape(h, w, ct).astype(o_ref.dtype)
+        s_ref[0, 0, 0] = 1.0
+
+
+def _run_msrb_branch(xq, xscales, wq, sb, sb_row, ct, kk, quant_out,
+                     out_dtype, interpret=False):
+    """One branch: xq (n,h,w,cin) int8, xscales (n,gin), wq (kk²,cin,nf),
+    sb (4,nf) with this branch's [scale,bias] at rows 2·sb_row..2·sb_row+1.
+    Returns (o (n,h,w,nf), s (n,t))."""
+    n, h, w, cin = xq.shape
+    nf = wq.shape[-1]
+    t = nf // ct
+    gin = xscales.shape[1]
+    kern = functools.partial(_msrb_branch_kernel, h=h, w=w, cin=cin, ct=ct,
+                             gin=gin, kk=kk, sb_row=sb_row,
+                             quant_out=quant_out)
+    img = pl.BlockSpec((1, h, w, cin), lambda i, j: (i, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((1, h, w, ct), lambda i, j: (i, 0, 0, j),
+                        memory_space=pltpu.VMEM)
+    ws = pl.BlockSpec((kk * kk, cin, ct), lambda i, j: (0, 0, j),
+                      memory_space=pltpu.VMEM)
+    # whole (4, nf) scale/bias columns — a 2-row block would violate
+    # Mosaic's sublane rule; the kernel selects its branch rows statically
+    sbs = pl.BlockSpec((4, ct), lambda i, j: (0, j),
+                       memory_space=pltpu.VMEM)
+    s_in = pl.BlockSpec((gin, 1, 1), lambda i, j: (i, 0, 0),
+                        memory_space=pltpu.SMEM)
+    s_out = pl.BlockSpec((1, 1, 1), lambda i, j: (i * t + j, 0, 0),
+                         memory_space=pltpu.SMEM)
+    odt = jnp.int8 if quant_out else out_dtype
+    o, s = pl.pallas_call(
+        kern,
+        grid=(n, t),
+        in_specs=[img, s_in, ws, sbs],
+        out_specs=(tile, s_out),
+        out_shape=(jax.ShapeDtypeStruct((n, h, w, nf), odt),
+                   jax.ShapeDtypeStruct((n * t, 1, 1), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w * kk * kk * cin * nf,
+            bytes_accessed=n * h * w * (cin + nf) + kk * kk * cin * nf,
+            transcendentals=0),
+        interpret=interpret,
+    )(xq, xscales.reshape(n * gin, 1, 1), wq, sb)
+    return o, s.reshape(n, t)
+
+
+def _run_msrb_stage(xq, xscales, w3q, w5q, sb, ct, quant_out, out_dtype,
+                    interpret=False):
+    """xq (n,h,w,cin) int8; xscales (n, gin) fp32 per-input-group scales;
+    returns (o3, o5, s3, s5) with o* (n,h,w,nf) and s* (n, t). Runs the
+    3×3 and 5×5 branches as separate kernels (VMEM: one pad + one weight
+    tile resident at a time)."""
+    o3, s3 = _run_msrb_branch(xq, xscales, w3q, sb, 0, ct, 3, quant_out,
+                              out_dtype, interpret)
+    o5, s5 = _run_msrb_branch(xq, xscales, w5q, sb, 1, ct, 5, quant_out,
+                              out_dtype, interpret)
+    return o3, o5, s3, s5
+
+
+def _msrb_stage_emulate(xq, xscales, w3q, w5q, sb, ct, quant_out, out_dtype):
+    """XLA mirror of the stage kernel's per-group/per-tile math."""
+    n, h, w, cin = xq.shape
+    nf = w3q.shape[-1]
+    hw, t = h * w, nf // ct
+    gin = xscales.shape[1]
+    cg = cin // gin
+
+    def conv(wq, pad, k2, kk):
+        xp = jnp.pad(xq, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        f = jnp.zeros((n, hw, nf), jnp.float32)
+        for g in range(gin):
+            lo = g * cg
+            acc = jnp.zeros((n, hw, nf), jnp.int32)
+            for k in range(k2):
+                dy, dx = k // kk, k % kk
+                patch = xp[:, dy:dy + h, dx:dx + w, lo:lo + cg] \
+                    .reshape(n, hw, cg)
+                acc = acc + jnp.einsum(
+                    "npi,io->npo", patch.astype(jnp.int32),
+                    wq[k, lo:lo + cg, :].astype(jnp.int32))
+            f = f + acc.astype(jnp.float32) * xscales[:, g, None, None]
+        return f
+
+    f3 = jnp.maximum(conv(w3q, 1, 9, 3) * sb[0][None, None] + sb[1][None, None],
+                     0.0)
+    f5 = jnp.maximum(conv(w5q, 2, 25, 5) * sb[2][None, None] + sb[3][None, None],
+                     0.0)
+    if not quant_out:
+        one = jnp.ones((n, t), jnp.float32)
+        return (f3.reshape(n, h, w, nf).astype(out_dtype),
+                f5.reshape(n, h, w, nf).astype(out_dtype), one, one)
+
+    def q(f):
+        ft = f.reshape(n, hw, t, ct)
+        m = jnp.maximum(jnp.max(jnp.abs(ft), axis=(1, 3), keepdims=True),
+                        1e-6)
+        fq = jnp.clip(jnp.round(ft * (127.0 / m)), -127, 127) \
+            .astype(jnp.int8).reshape(n, h, w, nf)
+        return fq, (m / 127.0).reshape(n, t)
+
+    q3, s3 = q(f3)
+    q5, s5 = q(f5)
+    return q3, q5, s3, s5
+
+
+def msrb_block_int8(x: jnp.ndarray, qblk: Dict[str, jnp.ndarray],
+                    cout_tile: int = 128, interpret: bool = False,
+                    force_emulate: bool = False) -> jnp.ndarray:
+    """One MSRB block with both conv stages on the int8 MXU; the 1x1 fuse
+    stays bf16 XLA. Returns the block output in ``x.dtype``."""
+    n, h, w, c = x.shape
+    nf = qblk["w3a"].shape[-1]
+    ct = min(cout_tile, nf)
+    use_kernel = (interpret or _on_tpu()) and not force_emulate \
+        and h >= 5 and w >= 5 and nf % ct == 0
+    stage = _run_msrb_stage if use_kernel else _msrb_stage_emulate
+    kw = {"interpret": interpret} if use_kernel else {}
+
+    xq, xs = quantize_act(x)                      # per-image (gin=1)
+    o3, o5, s3, s5 = stage(xq, xs, qblk["w3a"], qblk["w5a"], qblk["sb1"],
+                           ct, True, None, **kw)
+    cat = jnp.concatenate([o3, o5], axis=-1)      # int8 (n,h,w,2nf)
+    scales = jnp.concatenate([s3, s5], axis=1)    # (n, 2t) group scales
+    c3, c5 = stage(cat, scales, qblk["w3b"], qblk["w5b"], qblk["sb2"],
+                   ct, False, x.dtype, **kw)[:2]
+    cat2 = jnp.concatenate([c3, c5], axis=-1).astype(jnp.float32)
+    out = jnp.einsum("nhwi,io->nhwo", cat2, qblk["w1x1"][0, 0]) \
+        + qblk["b1x1"][None, None, None]
+    return out.astype(x.dtype)

@@ -185,3 +185,78 @@ def test_global_generator_int8_trunk_apply():
                                             n_blocks=2, cout_tile=16)
     assert y_q.shape == y_ref.shape
     assert float(jnp.max(jnp.abs(y_q - y_ref))) < 0.3
+
+
+# --------------------------------------------------------------------------- #
+# MSRB int8 (the UNet-MSRB trunk)
+# --------------------------------------------------------------------------- #
+def _mk_msrb(seed, n=32):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+    mk = lambda k, kh, cin: {"w": 0.05 * jax.random.normal(k, (kh, kh, cin, n)),
+                             "b": 0.01 * jnp.ones(n)}
+    return {"b00_conv": mk(ks[0], 3, n), "b01_conv": mk(ks[1], 5, n),
+            "b10_conv": mk(ks[2], 3, 2 * n), "b11_conv": mk(ks[3], 5, 2 * n),
+            "out_conv": mk(ks[4], 1, 2 * n)}
+
+
+def _ref_msrb(x, blk):
+    b00 = tnn.relu(tnn.conv2d(x, blk["b00_conv"]["w"], blk["b00_conv"]["b"],
+                              padding=1))
+    b01 = tnn.relu(tnn.conv2d(x, blk["b01_conv"]["w"], blk["b01_conv"]["b"],
+                              padding=2))
+    cat1 = jnp.concatenate([b00, b01], axis=-1)
+    b10 = tnn.relu(tnn.conv2d(cat1, blk["b10_conv"]["w"],
+                              blk["b10_conv"]["b"], padding=1))
+    b11 = tnn.relu(tnn.conv2d(cat1, blk["b11_conv"]["w"],
+                              blk["b11_conv"]["b"], padding=2))
+    cat2 = jnp.concatenate([b10, b11], axis=-1)
+    return tnn.conv2d(cat2, blk["out_conv"]["w"], blk["out_conv"]["b"])
+
+
+def test_msrb_stage_kernel_matches_emulation():
+    from cistar_tpu.ops.quant_pallas import (_msrb_stage_emulate,
+                                             _run_msrb_stage, quantize_act,
+                                             quantize_msrb)
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 12, 12, 32).astype(np.float32))
+    q = quantize_msrb(_mk_msrb(7))
+    xq, xs = quantize_act(x)
+    k = _run_msrb_stage(xq, xs, q["w3a"], q["w5a"], q["sb1"], 16, True, None,
+                        interpret=True)
+    e = _msrb_stage_emulate(xq, xs, q["w3a"], q["w5a"], q["sb1"], 16, True,
+                            None)
+    for a, b in zip(k, e):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_msrb_block_int8_close_to_fp32():
+    from cistar_tpu.ops.quant_pallas import msrb_block_int8, quantize_msrb
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 12, 12, 32).astype(np.float32))
+    blk = _mk_msrb(8)
+    y_ref = _ref_msrb(x, blk)
+    y_q = msrb_block_int8(x, quantize_msrb(blk), cout_tile=16,
+                          force_emulate=True)
+    err = float(jnp.mean(jnp.abs(y_q - y_ref)))
+    sig = float(jnp.std(y_ref))
+    assert err / sig < 0.05, (err, sig)
+
+
+def test_unet_msrb_int8_apply():
+    from cistar_tpu.models.fast_infer import (quantize_unet_msrb,
+                                              unet_msrb_int8_apply)
+    from cistar_tpu.models.pix2pixhd import UNetGeneratorHD
+
+    m = UNetGeneratorHD(output_nc=1, n_residual_blocks=2, in_features=8)
+    x = jnp.asarray(np.random.RandomState(5).rand(1, 32, 32, 1)
+                    .astype(np.float32) * 2 - 1)
+    p = m.init(jax.random.PRNGKey(0), x)["params"]
+    q = quantize_unet_msrb(p, 2)
+    y_ref = m.apply({"params": p}, x)
+    y_q = unet_msrb_int8_apply(p, q, x, n_blocks=2, cout_tile=16)
+    assert y_q.shape == y_ref.shape
+    assert float(jnp.max(jnp.abs(y_q - y_ref))) < 0.3
