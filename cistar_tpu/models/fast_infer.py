@@ -116,7 +116,7 @@ def global_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
                                       x: jnp.ndarray,
                                       n_downsampling: int = 4,
                                       n_blocks: int = 9,
-                                      cout_tile: int = 256) -> jnp.ndarray:
+                                      cout_tile=None) -> jnp.ndarray:
     """GlobalGenerator forward with the res trunk on the int8 MXU.
 
     The reference's TensorRT-int8 engine is exactly this network
@@ -203,3 +203,81 @@ def unet_msrb_int8_apply(params: Dict[str, Any], qblocks, x: jnp.ndarray,
     p = params["output_layer"]["conv"]
     h = tnn.conv2d_reflect(h, p["w"], p.get("b"))
     return tnn.tanh(h)
+
+
+def quantize_local_enhancer(params: Dict[str, Any], n_blocks_global: int = 9):
+    """Quantize the global-trunk res blocks of a ``LocalEnhancer`` tree."""
+    from cistar_tpu.ops.quant_pallas import quantize_resblock
+
+    return [quantize_resblock(params["global"][f"res_{i}"])
+            for i in range(n_blocks_global)]
+
+
+def local_enhancer_int8_apply(params: Dict[str, Any], qblocks, x: jnp.ndarray,
+                              n_downsample_global: int = 3,
+                              n_blocks_global: int = 9,
+                              n_local_enhancers: int = 1,
+                              n_blocks_local: int = 3,
+                              cout_tile=None) -> jnp.ndarray:
+    """``LocalEnhancer`` forward (the 1024² coarse-to-fine generator) with
+    the global trunk's res blocks on the int8 MXU.
+
+    The enhancer-stream res blocks run at full resolution with few channels
+    (512²×64 at the 1024² config) — bandwidth-bound, tiny weights — so they
+    stay bf16 XLA; the global bottleneck trunk carries most of the MACs and
+    dispatches to the whole-image or cout-tiled int8 chain by VMEM fit.
+
+    Measured (v5e chip, 1024², ngf 32, batch 4): 26.9 vs 24.8 img/s bf16
+    (1.08× — the bf16 full-res enhancer stream dominates this config).
+    """
+    from cistar_tpu.ops.quant_pallas import (resblock_chain_int8_bf16io,
+                                             resblock_chain_int8_tiled)
+
+    pyramid = [x]
+    for _ in range(n_local_enhancers):
+        pyramid.append(tnn.avg_pool2d(pyramid[-1], 3, 2, padding=1,
+                                      count_include_pad=False))
+
+    g = params["global"]
+    p = g["stem"]["conv"]
+    h = tnn.conv2d_reflect(pyramid[-1], p["w"], p.get("b"))
+    h = tnn.relu(tnn.instance_norm(h))
+    for i in range(n_downsample_global):
+        p = g[f"down_{i}"]["conv"]
+        h = tnn.conv2d(h, p["w"], p.get("b"), stride=2, padding=1)
+        h = tnn.relu(tnn.instance_norm(h))
+    c, hw = h.shape[-1], h.shape[1] * h.shape[2]
+    if hw * c * 14 + 2 * 9 * c * c + 16 * c <= 13 * 1024 * 1024:
+        h = resblock_chain_int8_bf16io(h, qblocks)
+    else:
+        h = resblock_chain_int8_tiled(h, qblocks, cout_tile=cout_tile)
+    for i in range(n_downsample_global):
+        p = g[f"up_{i}"]["convt"]
+        h = tnn.conv_transpose2d(h, p["w"], p.get("b"), stride=2, padding=1,
+                                 output_padding=1)
+        h = tnn.relu(tnn.instance_norm(h))
+
+    for n in range(1, n_local_enhancers + 1):
+        inp = pyramid[n_local_enhancers - n]
+        p = params[f"enh{n}_stem"]["conv"]
+        d = tnn.conv2d_reflect(inp, p["w"], p.get("b"))
+        d = tnn.relu(tnn.instance_norm(d))
+        p = params[f"enh{n}_down"]["conv"]
+        d = tnn.conv2d(d, p["w"], p.get("b"), stride=2, padding=1)
+        d = tnn.relu(tnn.instance_norm(d))
+        h = d + h
+        for i in range(n_blocks_local):
+            blk = params[f"enh{n}_res_{i}"]
+            r = tnn.conv2d_reflect(h, blk["conv1"]["w"], blk["conv1"].get("b"))
+            r = tnn.relu(tnn.instance_norm(r))
+            r = tnn.conv2d_reflect(r, blk["conv2"]["w"], blk["conv2"].get("b"))
+            h = h + tnn.instance_norm(r)
+        p = params[f"enh{n}_up"]["convt"]
+        h = tnn.conv_transpose2d(h, p["w"], p.get("b"), stride=2, padding=1,
+                                 output_padding=1)
+        h = tnn.relu(tnn.instance_norm(h))
+        if n == n_local_enhancers:
+            p = params["head"]["conv"]
+            h = tnn.conv2d_reflect(h, p["w"], p.get("b"))
+            h = tnn.tanh(h)
+    return h

@@ -29,7 +29,7 @@ measured end-to-end at the LPIPS-style fidelity recorded in STATUS.md.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -518,17 +518,33 @@ def _resblock_int8_tiled_emulate(hx, qblk, ct, eps=_EPS):
     return hnew.reshape(n, h, w, c).astype(hx.dtype)
 
 
+def pick_cout_tile(hw: int, c: int,
+                   budget: int = 12 * 1024 * 1024) -> int:
+    """Largest lane-aligned cout tile whose kernel-B working set fits VMEM:
+    int8 image + its pad (~2.2·hw·c), one weight tile (9·c·ct), and the
+    fp32 accumulator/carrier/output tiles (~12·hw·ct)."""
+    for ct in (512, 256, 128, 64):
+        if ct <= c and c % ct == 0 \
+                and 2.2 * hw * c + 9 * c * ct + 12 * hw * ct <= budget:
+            return ct
+    return 64
+
+
 def resblock_chain_int8_tiled(x: jnp.ndarray,
                               qblocks: Sequence[Dict[str, Any]],
-                              cout_tile: int = 128, eps: float = _EPS,
+                              cout_tile: Optional[int] = None,
+                              eps: float = _EPS,
                               interpret: bool = False,
                               force_emulate: bool = False) -> jnp.ndarray:
     """Cout-tiled int8 res-block chain (full-precision carrier).
 
     For trunks too large for the whole-image kernel (weights per block
-    ``2·9·C² > VMEM``). ``cout_tile`` must divide C and be lane-aligned.
+    ``2·9·C² > VMEM``). ``cout_tile`` must divide C and be lane-aligned;
+    None auto-selects by VMEM fit (:func:`pick_cout_tile`).
     """
     n, h, w, c = x.shape
+    if cout_tile is None:
+        cout_tile = pick_cout_tile(h * w, c)
     if c % cout_tile:
         raise ValueError(f"cout_tile {cout_tile} must divide C={c}")
     use_kernel = (interpret or _on_tpu()) and not force_emulate \

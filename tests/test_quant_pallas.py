@@ -260,3 +260,23 @@ def test_unet_msrb_int8_apply():
     y_q = unet_msrb_int8_apply(p, q, x, n_blocks=2, cout_tile=16)
     assert y_q.shape == y_ref.shape
     assert float(jnp.max(jnp.abs(y_q - y_ref))) < 0.3
+
+
+def test_local_enhancer_int8_apply():
+    from cistar_tpu.models.fast_infer import (local_enhancer_int8_apply,
+                                              quantize_local_enhancer)
+    from cistar_tpu.models.pix2pixhd import LocalEnhancer
+
+    m = LocalEnhancer(output_nc=1, ngf=4, n_downsample_global=2,
+                      n_blocks_global=2, n_local_enhancers=1,
+                      n_blocks_local=1)
+    x = jnp.asarray(np.random.RandomState(6).rand(1, 64, 64, 1)
+                    .astype(np.float32) * 2 - 1)
+    p = m.init(jax.random.PRNGKey(0), x)["params"]
+    q = quantize_local_enhancer(p, 2)
+    y_ref = m.apply({"params": p}, x)
+    y_q = local_enhancer_int8_apply(p, q, x, n_downsample_global=2,
+                                    n_blocks_global=2, n_blocks_local=1,
+                                    cout_tile=8)
+    assert y_q.shape == y_ref.shape
+    assert float(jnp.max(jnp.abs(y_q - y_ref))) < 0.3
