@@ -49,13 +49,21 @@ def main(argv=None):
     state = engine.init_state(jax.random.PRNGKey(0), image_size=size)
     save_dir = os.path.join(opt.checkpoints_dir, opt.name)
     g_params = ckpt.load_network(save_dir, "G", opt.which_epoch, state.g)
+    g_stats = None
+    if state.g_stats is not None:  # BatchNorm G families (multiscale)
+        g_stats = ckpt.load_network(save_dir, "G_stats", opt.which_epoch,
+                                    state.g_stats)
 
     web_dir = os.path.join(opt.results_dir, opt.name,
                            f"{opt.phase}_{opt.which_epoch}")
     gallery = HTMLGallery(web_dir, f"Experiment = {opt.name}, "
                           f"Phase = {opt.phase}, Epoch = {opt.which_epoch}")
 
-    example = jnp.zeros((1, size, size, opt.input_nc), jnp.float32)
+    # what the dataset actually yields: 1-channel label-id maps in semantic
+    # mode and grayscale radar in r2l mode (encode_input one-hots inside the
+    # traced program), full input_nc only for plain image-conditional G
+    label_ch = 1 if (opt.r2l or opt.label_nc > 0) else opt.input_nc
+    example = jnp.zeros((1, size, size, label_ch), jnp.float32)
 
     if opt.export_onnx:
         save_compiled(lambda label: engine.infer_step(g_params, label),
@@ -81,7 +89,8 @@ def main(argv=None):
             print(f"(per-op trace unavailable: {e})")
         infer = run
     else:
-        infer = lambda label: engine.infer_step(g_params, label)
+        infer = lambda label: engine.infer_step(g_params, label,
+                                                g_stats=g_stats)
 
     if opt.r2l:
         dataset = Radar2LidarDataset(opt.dataroot, size=size, mode="test")
@@ -92,14 +101,24 @@ def main(argv=None):
 
         dataset = AlignedDataset(opt)
     loader = Loader(dataset, 1)
+    warned_engine_bypass = False
     for i, batch in enumerate(loader):
         if i >= opt.how_many:
             break
         label = jnp.asarray(batch["label"])
         inst = (jnp.asarray(batch["inst"]) if batch["inst"].ndim == 4
                 else None)
+        if inst is not None and (opt.engine or opt.onnx) \
+                and not warned_engine_bypass:
+            # the serialized executable was exported label-only; be explicit
+            # rather than silently profiling one path and rendering another
+            print("note: instance maps present — gallery images use the JIT "
+                  "path, not the loaded engine (export with instance inputs "
+                  "to profile that path)")
+            warned_engine_bypass = True
         fake = (np.asarray(infer(label)) if inst is None
-                else np.asarray(engine.infer_step(g_params, label, inst)))
+                else np.asarray(engine.infer_step(g_params, label, inst,
+                                                  g_stats=g_stats)))
         name = os.path.splitext(os.path.basename(batch["path"][0]))[0]
         ims, txts, links = [], [], []
         tiles = [("input_label", batch["label"][0]),

@@ -123,10 +123,14 @@ def main(argv=None):
         logger.end_epoch()
         ckpt.save_network(save_dir, "G", "latest", state.g)
         ckpt.save_network(save_dir, "D", "latest", state.d)
+        if state.g_stats is not None:  # BatchNorm G families (multiscale)
+            ckpt.save_network(save_dir, "G_stats", "latest", state.g_stats)
         ckpt.save_iter(save_dir, epoch + 1, 0)
         if epoch % opt.save_epoch_freq == 0:
             ckpt.save_network(save_dir, "G", epoch, state.g)
             ckpt.save_network(save_dir, "D", epoch, state.d)
+            if state.g_stats is not None:
+                ckpt.save_network(save_dir, "G_stats", epoch, state.g_stats)
             print(f"saved model at end of epoch {epoch}")
 
 

@@ -56,6 +56,8 @@ class P2PState(NamedTuple):
     epoch: jnp.ndarray
     e: Any = None          # netE params (use_features joint training)
     opt_e: Any = None
+    g_stats: Any = None    # G batch_stats (BatchNorm families, e.g. the
+                           # define_G multiscale quirk — networks.py:40)
 
 
 class Pix2PixHD:
@@ -165,8 +167,16 @@ class Pix2PixHD:
         xg = jnp.zeros((1, size, size, self.g_input_nc()), jnp.float32)
         xd = jnp.zeros((1, size, size,
                         self.label_input_nc() + self.output_nc), jnp.float32)
-        g = self.G.init(r[0], xg)["params"]
-        d = self.D.init(r[1], xd)["params"]
+        gv = self.G.init(r[0], xg)
+        g = gv["params"]
+        g_stats = gv.get("batch_stats")
+        dv = self.D.init(r[1], xd)
+        d = dv["params"]
+        if "batch_stats" in dv:
+            raise NotImplementedError(
+                "BatchNorm discriminators are not threaded through the "
+                "jitted step (the reference uses instance norm for D); "
+                "set norm='instance'")
         pool = (init_pool(self.pool_size,
                           (size, size, self.label_input_nc() + self.output_nc))
                 if self.pool_size > 0 else None)
@@ -181,12 +191,24 @@ class Pix2PixHD:
             g=g, d=d,
             opt_g=self.tx.init(g), opt_d=self.tx.init(d),
             pool=pool, rng=r[2], epoch=jnp.zeros((), jnp.int32),
-            e=e, opt_e=opt_e,
+            e=e, opt_e=opt_e, g_stats=g_stats,
         )
 
     # -- helpers -------------------------------------------------------------
-    def _g_apply(self, params, x):
-        return self.G.apply({"params": params}, x.astype(self.cdt)).astype(jnp.float32)
+    def _g_apply(self, params, x, stats=None, train=False):
+        """Generator forward; BatchNorm families thread ``stats``
+        (train=True additionally returns the updated running stats)."""
+        if stats is None:
+            return self.G.apply({"params": params},
+                                x.astype(self.cdt)).astype(jnp.float32)
+        if train:
+            out, mut = self.G.apply(
+                {"params": params, "batch_stats": stats},
+                x.astype(self.cdt), train=True, mutable=["batch_stats"])
+            return out.astype(jnp.float32), mut["batch_stats"]
+        return self.G.apply({"params": params, "batch_stats": stats},
+                            x.astype(self.cdt),
+                            train=False).astype(jnp.float32)
 
     def _d_apply(self, params, x):
         outs = self.D.apply({"params": params}, x.astype(self.cdt))
@@ -252,7 +274,11 @@ class Pix2PixHD:
                     [input_label, feat.astype(jnp.float32)], axis=-1)
             else:
                 g_in = input_label
-            fake = self._g_apply(gp, g_in)
+            if state.g_stats is not None:
+                fake, new_stats = self._g_apply(gp, g_in, state.g_stats,
+                                                train=True)
+            else:
+                fake, new_stats = self._g_apply(gp, g_in), None
             if self.use_ganfeat:
                 # one batched D call over (fake ‖ real) pairs — per-sample
                 # norms make this bit-identical to two separate calls
@@ -279,7 +305,8 @@ class Pix2PixHD:
                 loss_vgg = self.vgg_criterion(fake, image) * self.lambda_feat
 
             total = loss_g_gan + loss_feat + loss_vgg
-            return total, {"fake": fake, "G_GAN": loss_g_gan,
+            return total, {"fake": fake, "g_stats": new_stats,
+                           "G_GAN": loss_g_gan,
                            "G_GAN_Feat": loss_feat, "G_VGG": loss_vgg}
 
         g_arg = {"g": state.g, "e": state.e} if self.gen_features else state.g
@@ -299,6 +326,9 @@ class Pix2PixHD:
             e_params = optax.apply_updates(state.e, e_updates)
 
         fake = jax.lax.stop_gradient(aux.pop("fake"))
+        g_stats = aux.pop("g_stats")
+        if g_stats is not None:
+            g_stats = jax.lax.stop_gradient(g_stats)
         fake_concat = jnp.concatenate([input_label, fake], axis=-1)
         real_concat = jnp.concatenate([input_label, image], axis=-1)
 
@@ -335,7 +365,7 @@ class Pix2PixHD:
         }
         new_state = P2PState(g=g_params, d=d_params, opt_g=opt_g, opt_d=opt_d,
                              pool=pool, rng=rng, epoch=state.epoch,
-                             e=e_params, opt_e=opt_e)
+                             e=e_params, opt_e=opt_e, g_stats=g_stats)
         return new_state, metrics, fake
 
     def next_epoch(self, state: P2PState) -> P2PState:
@@ -343,10 +373,12 @@ class Pix2PixHD:
 
     # -- inference -----------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=0)
-    def infer_step(self, g_params, label, inst=None):
-        """Parity with ``Pix2PixHDModel.inference`` (no-feature path)."""
+    def infer_step(self, g_params, label, inst=None, g_stats=None):
+        """Parity with ``Pix2PixHDModel.inference`` (no-feature path).
+        BatchNorm families (netG='multiscale') pass ``g_stats`` so eval uses
+        running averages."""
         input_label = self.encode_input(label, inst)
-        return self._g_apply(g_params, input_label)
+        return self._g_apply(g_params, input_label, stats=g_stats)
 
     @functools.partial(jax.jit, static_argnums=0)
     def infer_encoded(self, g_params, e_params, label, inst, image):

@@ -132,7 +132,8 @@ def global_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
     bf16-XLA (1.23×); cout_tile 256 beats 128 (267) and 512 exceeds VMEM.
     """
     from cistar_tpu.ops.quant_pallas import (resblock_chain_int8_bf16io,
-                                             resblock_chain_int8_tiled)
+                                             resblock_chain_int8_tiled,
+                                             whole_image_resblock_fits)
 
     trunk = params["trunk"]
     p = trunk["stem"]["conv"]
@@ -142,11 +143,7 @@ def global_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
         p = trunk[f"down_{i}"]["conv"]
         h = tnn.conv2d(h, p["w"], p.get("b"), stride=2, padding=1)
         h = tnn.relu(tnn.instance_norm(h))
-    c = h.shape[-1]
-    hw = h.shape[1] * h.shape[2]
-    # whole-image kernel needs acts + both weight mats resident at once
-    whole_fits = hw * c * 14 + 2 * 9 * c * c + 16 * c <= 13 * 1024 * 1024
-    if whole_fits:
+    if whole_image_resblock_fits(h.shape[1], h.shape[2], h.shape[-1]):
         h = resblock_chain_int8_bf16io(h, qblocks)
     else:
         h = resblock_chain_int8_tiled(h, qblocks, cout_tile=cout_tile)
@@ -231,7 +228,8 @@ def local_enhancer_int8_apply(params: Dict[str, Any], qblocks, x: jnp.ndarray,
     (1.08× — the bf16 full-res enhancer stream dominates this config).
     """
     from cistar_tpu.ops.quant_pallas import (resblock_chain_int8_bf16io,
-                                             resblock_chain_int8_tiled)
+                                             resblock_chain_int8_tiled,
+                                             whole_image_resblock_fits)
 
     pyramid = [x]
     for _ in range(n_local_enhancers):
@@ -246,8 +244,7 @@ def local_enhancer_int8_apply(params: Dict[str, Any], qblocks, x: jnp.ndarray,
         p = g[f"down_{i}"]["conv"]
         h = tnn.conv2d(h, p["w"], p.get("b"), stride=2, padding=1)
         h = tnn.relu(tnn.instance_norm(h))
-    c, hw = h.shape[-1], h.shape[1] * h.shape[2]
-    if hw * c * 14 + 2 * 9 * c * c + 16 * c <= 13 * 1024 * 1024:
+    if whole_image_resblock_fits(h.shape[1], h.shape[2], h.shape[-1]):
         h = resblock_chain_int8_bf16io(h, qblocks)
     else:
         h = resblock_chain_int8_tiled(h, qblocks, cout_tile=cout_tile)

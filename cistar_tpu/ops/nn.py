@@ -17,10 +17,8 @@ produce equivalent outputs:
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Tuple, Union
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -247,7 +245,7 @@ def max_pool2d(x: jnp.ndarray, kernel: IntOr2, stride: Optional[IntOr2] = None,
     return _max_pool_reduce(x, k, s, p)
 
 
-@functools.lru_cache(maxsize=None)
+@lru_cache(maxsize=None)
 def _pool_counts(h: int, w: int, k, s, p):
     """Reciprocal valid-element counts per output pixel for
     count_include_pad=False average pooling ((ho, wo) float32 numpy)."""

@@ -267,9 +267,8 @@ def resblock_chain_int8_bf16io(x: jnp.ndarray,
     rounded through int8, so errors do not accumulate across blocks.
     """
     n, h, w, c = x.shape
-    vmem_need = (h * w * c) * (2 + 1 + 4 + 4 + 1 + 2) + 2 * 9 * c * c + 16 * c
     use_kernel = (interpret or _on_tpu()) and not force_emulate \
-        and vmem_need <= 13 * 1024 * 1024 and h >= 3 and w >= 3
+        and whole_image_resblock_fits(h, w, c)
     hx = x
     for qblk in qblocks:
         if use_kernel:
@@ -516,6 +515,17 @@ def _resblock_int8_tiled_emulate(hx, qblk, ct, eps=_EPS):
     f2 = f2 * sb[2][None, None, :] + sb[3][None, None, :]
     hnew = inorm(f2) + hx.astype(jnp.float32).reshape(n, hw, c)
     return hnew.reshape(n, h, w, c).astype(hx.dtype)
+
+
+def whole_image_resblock_fits(h: int, w: int, c: int) -> bool:
+    """Whether the whole-image bf16-carrier res-block kernel fits VMEM:
+    bf16 image + int8 copies + two fp32 working sets (14 B/activation) plus
+    BOTH conv weight matrices. Single source of truth for the callers'
+    whole-image-vs-tiled dispatch AND the chain's own kernel/emulate gate —
+    if these diverge, a caller can pick the whole-image chain while the
+    chain silently falls back to the slow XLA emulation."""
+    return (h * w * c * 14 + 2 * 9 * c * c + 16 * c
+            <= 13 * 1024 * 1024 and h >= 3 and w >= 3)
 
 
 def pick_cout_tile(hw: int, c: int,

@@ -105,7 +105,10 @@ class _Handler(BaseHTTPRequestHandler):
             rel = self.path[len("/images/"):]
             base = os.path.realpath(self.exp_dir)
             full = os.path.realpath(os.path.join(base, rel))
-            if full.startswith(base + os.sep) and os.path.isfile(full):
+            # traversal guard AND extension allowlist: the experiment dir
+            # also holds checkpoints/configs that must not be served
+            if full.startswith(base + os.sep) and os.path.isfile(full) \
+                    and full.lower().endswith((".png", ".jpg", ".jpeg")):
                 with open(full, "rb") as f:
                     self._send(200, "image/png", f.read())
             else:

@@ -252,3 +252,40 @@ def test_p2phd_netE_joint_training(rng):
     # use_encoded_image inference path consumes the jointly-trained netE
     out = eng.infer_encoded(state2.g, state2.e, label, inst, image)
     assert out.shape == image.shape and np.isfinite(np.asarray(out)).all()
+
+
+def test_engine_multiscale_batchnorm_generator():
+    """netG='multiscale' (define_G's BatchNorm-default quirk) must run
+    through the jitted engine: batch_stats thread through train (EMA
+    updates) and eval (running averages). Regression: ScopeCollectionNotFound
+    on the first step before round 2's g_stats threading."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cistar_tpu.engines.p2phd import Pix2PixHD
+
+    eng = Pix2PixHD(net_g="multiscale", input_nc=1, output_nc=1, label_nc=0,
+                    ngf=4, n_blocks_global=1, num_d=1, norm="instance",
+                    no_instance=True, r2l=True, image_size=32)
+    st = eng.init_state(jax.random.PRNGKey(0), image_size=32)
+    assert st.g_stats is not None, "multiscale G must carry batch_stats"
+    stats_before = jax.tree.leaves(st.g_stats)[0].copy()
+
+    rng = np.random.RandomState(0)
+    lab = jnp.asarray(rng.rand(2, 32, 32, 1).astype(np.float32) * 2 - 1)
+    img = jnp.asarray(rng.rand(2, 32, 32, 1).astype(np.float32) * 2 - 1)
+    st, metrics, fake = eng.train_step(st, lab, None, img)
+    assert all(np.isfinite(float(v)) for v in metrics.values()), metrics
+    assert fake.shape == img.shape
+    # EMA running stats must move
+    assert float(jnp.max(jnp.abs(jax.tree.leaves(st.g_stats)[0]
+                                 - stats_before))) > 0
+
+    out = eng.infer_step(st.g, lab, g_stats=st.g_stats)
+    assert out.shape == img.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # eval must be batch-composition independent (running averages)
+    one = eng.infer_step(st.g, lab[:1], g_stats=st.g_stats)
+    np.testing.assert_allclose(np.asarray(one[0]), np.asarray(out[0]),
+                               rtol=2e-4, atol=2e-4)

@@ -52,9 +52,10 @@ def main(argv=None):
     state = engine.init_state(jax.random.PRNGKey(0), image_size=size)
     save_dir = os.path.join(opt.checkpoints_dir, opt.name)
 
+    import itertools
+
     dataset = Radar2LidarDataset(opt.dataroot, size=size, mode="test")
-    batches = [b for i, b in enumerate(Loader(dataset, 1))
-               if i < opt.how_many]
+    batches = list(itertools.islice(Loader(dataset, 1), opt.how_many))
     print(f"eval split: {len(batches)} images @ {size}²")
 
     infer = engine.infer_step  # already jitted (static self)
