@@ -207,6 +207,20 @@ def test_p2phd_multiscale_global_parity(gdir):
     out = model.apply(variables, jnp.asarray(_nhwc(io["x"])), train=False)
     assert float(np.max(np.abs(np.asarray(out) - _nhwc(io["y"])))) < 5e-3
 
+    # ENGINE-level parity: the jitted infer path must thread batch_stats
+    # identically (round-2 fix — this previously crashed with
+    # ScopeCollectionNotFound before any comparison could run)
+    from cistar_tpu.engines.p2phd import Pix2PixHD
+
+    eng = Pix2PixHD(net_g="multiscale", input_nc=1, output_nc=1, label_nc=0,
+                    ngf=8, n_blocks_global=9, norm="instance",
+                    no_instance=True, r2l=True, image_size=64,
+                    compute_dtype=jnp.float32)
+    eng_out = eng.infer_step(variables["params"],
+                             jnp.asarray(_nhwc(io["x"])),
+                             g_stats=variables["batch_stats"])
+    assert float(np.max(np.abs(np.asarray(eng_out) - _nhwc(io["y"])))) < 5e-3
+
 
 def test_p2phd_autoencoder_parity(gdir):
     from cistar_tpu.core.convert_models import convert_autoencoder
