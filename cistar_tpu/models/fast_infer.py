@@ -65,7 +65,7 @@ def resnet_generator_int8_trunk_apply(params: Dict[str, Any],
                                              resblock_chain_int8_bf16io)
 
     p = params["init_conv"]
-    h = tnn.conv2d_reflect(x, p["w"], p.get("b"))
+    h = tnn.conv2d_reflect_thin(x, p["w"], p.get("b"))
     h = tnn.relu(tnn.instance_norm(h))
     for i in range(3):
         p = params[f"down_{i}"]
@@ -80,7 +80,7 @@ def resnet_generator_int8_trunk_apply(params: Dict[str, Any],
                                  output_padding=1)
         h = tnn.relu(tnn.instance_norm(h))
     p = params["out_conv"]
-    h = tnn.conv2d_reflect(h, p["w"], p.get("b"))
+    h = tnn.conv2d_reflect_thin(h, p["w"], p.get("b"))
     return tnn.tanh(h)
 
 
@@ -137,7 +137,7 @@ def global_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
 
     trunk = params["trunk"]
     p = trunk["stem"]["conv"]
-    h = tnn.conv2d_reflect(x, p["w"], p.get("b"))
+    h = tnn.conv2d_reflect_thin(x, p["w"], p.get("b"))
     h = tnn.relu(tnn.instance_norm(h))
     for i in range(n_downsampling):
         p = trunk[f"down_{i}"]["conv"]
@@ -153,7 +153,7 @@ def global_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
                                  output_padding=1)
         h = tnn.relu(tnn.instance_norm(h))
     p = params["head"]["conv"]
-    h = tnn.conv2d_reflect(h, p["w"], p.get("b"))
+    h = tnn.conv2d_reflect_thin(h, p["w"], p.get("b"))
     return tnn.tanh(h)
 
 
@@ -180,7 +180,7 @@ def unet_msrb_int8_apply(params: Dict[str, Any], qblocks, x: jnp.ndarray,
     from cistar_tpu.ops.quant_pallas import msrb_block_int8
 
     p = params["init_block"]["conv"]
-    h = tnn.conv2d_reflect(x, p["w"], p.get("b"))
+    h = tnn.conv2d_reflect_thin(x, p["w"], p.get("b"))
     h = tnn.relu(tnn.instance_norm(h))
     skips = []
     for i in range(3):
@@ -198,7 +198,7 @@ def unet_msrb_int8_apply(params: Dict[str, Any], qblocks, x: jnp.ndarray,
                                  output_padding=1)
         h = tnn.relu(tnn.instance_norm(h))
     p = params["output_layer"]["conv"]
-    h = tnn.conv2d_reflect(h, p["w"], p.get("b"))
+    h = tnn.conv2d_reflect_thin(h, p["w"], p.get("b"))
     return tnn.tanh(h)
 
 
@@ -238,7 +238,7 @@ def local_enhancer_int8_apply(params: Dict[str, Any], qblocks, x: jnp.ndarray,
 
     g = params["global"]
     p = g["stem"]["conv"]
-    h = tnn.conv2d_reflect(pyramid[-1], p["w"], p.get("b"))
+    h = tnn.conv2d_reflect_thin(pyramid[-1], p["w"], p.get("b"))
     h = tnn.relu(tnn.instance_norm(h))
     for i in range(n_downsample_global):
         p = g[f"down_{i}"]["conv"]
@@ -257,7 +257,7 @@ def local_enhancer_int8_apply(params: Dict[str, Any], qblocks, x: jnp.ndarray,
     for n in range(1, n_local_enhancers + 1):
         inp = pyramid[n_local_enhancers - n]
         p = params[f"enh{n}_stem"]["conv"]
-        d = tnn.conv2d_reflect(inp, p["w"], p.get("b"))
+        d = tnn.conv2d_reflect_thin(inp, p["w"], p.get("b"))
         d = tnn.relu(tnn.instance_norm(d))
         p = params[f"enh{n}_down"]["conv"]
         d = tnn.conv2d(d, p["w"], p.get("b"), stride=2, padding=1)
@@ -275,6 +275,6 @@ def local_enhancer_int8_apply(params: Dict[str, Any], qblocks, x: jnp.ndarray,
         h = tnn.relu(tnn.instance_norm(h))
         if n == n_local_enhancers:
             p = params["head"]["conv"]
-            h = tnn.conv2d_reflect(h, p["w"], p.get("b"))
+            h = tnn.conv2d_reflect_thin(h, p["w"], p.get("b"))
             h = tnn.tanh(h)
     return h

@@ -393,3 +393,44 @@ def conv2d_reflect(x: jnp.ndarray, w: jnp.ndarray,
 
     middle = jnp.concatenate([left, interior, right], axis=2)  # (h-2p, wd)
     return jnp.concatenate([top, middle, bot], axis=1)         # (h, wd)
+
+
+def conv2d_reflect_thin(x: jnp.ndarray, w: jnp.ndarray,
+                        b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Reflect-pad conv specialized for 1-channel ends (the c7s1 stem on
+    grayscale radar and the 1-channel output head).
+
+    Odd-kernel convs with cin==1 or cout==1 run the MXU at 1/128 lane
+    utilization under the standard lowering (measured: the 7×7 head was 31%
+    of the whole 512² pix2pixHD int8 engine's device time). Re-expressed:
+
+      * cout==1 → one (C → k²) matmul (full-rate MXU) + a k²-tap shift-sum;
+      * cin==1  → k²-tap im2col stack + one (k² → C) matmul.
+
+    Falls back to :func:`conv2d_reflect` for thick tensors.
+    """
+    kh, kw = w.shape[0], w.shape[1]
+    if kh != kw or kh % 2 == 0 or kh < 3:
+        return conv2d_reflect(x, w, b)
+    k, p = kh, kh // 2
+    n, h, wd = x.shape[0], x.shape[1], x.shape[2]
+    if w.shape[3] == 1 and w.shape[2] > 1:       # head: many → 1
+        wm = w[..., 0].reshape(k * k, w.shape[2]).T        # (C, k²)
+        z = jnp.einsum("nhwc,ct->nhwt", x, wm.astype(x.dtype))
+        zp = jnp.pad(z, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+        out = jnp.zeros((n, h, wd), x.dtype)
+        for t in range(k * k):
+            dy, dx = t // k, t % k
+            out = out + zp[:, dy:dy + h, dx:dx + wd, t]
+        out = out[..., None]
+    elif w.shape[2] == 1 and w.shape[3] > 1:     # stem: 1 → many
+        xp = jnp.pad(x[..., 0], ((0, 0), (p, p), (p, p)), mode="reflect")
+        cols = jnp.stack([xp[:, t // k:t // k + h, t % k:t % k + wd]
+                          for t in range(k * k)], axis=-1)  # (n,h,w,k²)
+        wm = w[:, :, 0, :].reshape(k * k, -1)              # (k², Cout)
+        out = jnp.einsum("nhwt,to->nhwo", cols, wm.astype(x.dtype))
+    else:
+        return conv2d_reflect(x, w, b)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out

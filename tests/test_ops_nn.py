@@ -112,3 +112,27 @@ def test_global_avg_pool_matches_patchgan_head(rng):
     ref = F.avg_pool2d(_nchw(x), (7, 7)).view(3, -1).numpy()
     out = np.asarray(tnn.global_avg_pool(jnp.asarray(x)))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_conv2d_reflect_thin_matches_general():
+    rng = np.random.RandomState(11)
+    # head: many -> 1
+    x = jnp.asarray(rng.randn(2, 12, 12, 16).astype(np.float32))
+    w = jnp.asarray(rng.randn(7, 7, 16, 1).astype(np.float32))
+    b = jnp.asarray(rng.randn(1).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(tnn.conv2d_reflect_thin(x, w, b)),
+        np.asarray(tnn.conv2d_reflect(x, w, b)), rtol=2e-4, atol=2e-4)
+    # stem: 1 -> many
+    x1 = jnp.asarray(rng.randn(2, 12, 12, 1).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(7, 7, 1, 8).astype(np.float32))
+    b1 = jnp.asarray(rng.randn(8).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(tnn.conv2d_reflect_thin(x1, w1, b1)),
+        np.asarray(tnn.conv2d_reflect(x1, w1, b1)), rtol=2e-4, atol=2e-4)
+    # thick fallback must match exactly
+    x2 = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+    w2 = jnp.asarray(rng.randn(3, 3, 4, 4).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(tnn.conv2d_reflect_thin(x2, w2, None)),
+        np.asarray(tnn.conv2d_reflect(x2, w2, None)), rtol=1e-6)
