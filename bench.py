@@ -3,15 +3,20 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Primary metric: CycleGAN 256² radar→lidar inference throughput on a single
-chip (9-block ResNet generator, the BASELINE.json throughput config), run
-through the int8 MXU inference engine (``ops/quant_pallas.py`` — the
-reference's own fast-inference tier is TensorRT int8,
-``p2pHD/run_engine.py:160-165``). The bf16 path's throughput is reported in
-the same line as ``bf16_img_s`` for transparency. North-star target is
-≥10,000 img/s on a v5e-8, i.e. 1,250 img/s/chip; ``vs_baseline`` is
-measured-throughput / per-chip-target.
+chip (9-block ResNet generator, the BASELINE.json throughput config). Both
+engines are measured — the plain bf16 XLA path and the int8 MXU engine
+(``ops/quant_pallas.py``; the reference's own fast-inference tier is
+TensorRT int8, ``p2pHD/run_engine.py:160-165``) — and the HEADLINE is the
+fastest *working* engine, so a kernel regression can never drag the
+committed number below the bf16 floor. The int8 engine runs with
+``expect_kernel=True``: a silent fallback to XLA emulation raises instead
+of being quietly timed. If int8 measures slower than bf16 a regression
+warning goes to stderr (that is a signal to fix kernels, not a number to
+record). North-star target is ≥10,000 img/s on a v5e-8, i.e. 1,250
+img/s/chip; ``vs_baseline`` is measured-throughput / per-chip-target.
 
-Run: python bench.py  [--batch N] [--iters N] [--size 256] [--engine int8|bf16]
+Run: python bench.py  [--batch N] [--iters N] [--size 256]
+                      [--engine best|int8|bf16]
 """
 
 from __future__ import annotations
@@ -30,7 +35,8 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--blocks", type=int, default=9)
     p.add_argument("--features", type=int, default=64)
-    p.add_argument("--engine", choices=["int8", "bf16"], default="int8")
+    p.add_argument("--engine", choices=["best", "int8", "bf16"],
+                   default="best")
     args = p.parse_args(argv)
 
     import jax
@@ -62,7 +68,7 @@ def main(argv=None):
     def infer_int8(params, qblocks, batch):
         return resnet_generator_int8_trunk_apply(
             params, qblocks, batch.astype(jnp.bfloat16),
-            args.blocks).astype(jnp.float32)
+            args.blocks, expect_kernel=True).astype(jnp.float32)
 
     batch = jnp.asarray(rng.rand(args.batch, args.size, args.size, 1)
                         .astype(np.float32) * 2 - 1)
@@ -84,23 +90,51 @@ def main(argv=None):
         float(jnp.sum(x))  # forces completion of the whole chain
         return args.batch * args.iters / (time.perf_counter() - t0)
 
-    bf16_img_s = measure(infer_bf16, params)
-    if args.engine == "int8":
-        images_per_sec = measure(infer_int8, params, qblocks)
-        metric = (f"cyclegan_resnet{args.blocks}_{args.size}sq_"
-                  "int8_infer_throughput")
-    else:
-        images_per_sec = bf16_img_s
-        metric = f"cyclegan_resnet{args.blocks}_{args.size}sq_infer_throughput"
+    bf16_img_s = measure(infer_bf16, params) if args.engine != "int8" else None
+    int8_img_s = None
+    int8_error = None
+    if args.engine != "bf16":
+        try:
+            int8_img_s = measure(infer_int8, params, qblocks)
+        except Exception as e:  # expect_kernel raise / Mosaic compile failure
+            int8_error = f"{type(e).__name__}: {e}"
+            print(f"int8 engine failed, falling back to bf16: {int8_error}",
+                  file=sys.stderr)
 
+    candidates = {}
+    if bf16_img_s is not None:
+        candidates["bf16"] = bf16_img_s
+    if int8_img_s is not None:
+        candidates["int8"] = int8_img_s
+    if not candidates:
+        print(json.dumps({"metric": "cyclegan_infer_throughput", "value": 0,
+                          "unit": "images/sec/chip", "vs_baseline": 0,
+                          "error": int8_error}))
+        return None
+    best = max(candidates, key=candidates.get)
+    images_per_sec = candidates[best]
+    if int8_img_s is not None and bf16_img_s is not None \
+            and int8_img_s < bf16_img_s:
+        print(f"REGRESSION SIGNAL: int8 engine ({int8_img_s:.1f} img/s) is "
+              f"slower than plain bf16 ({bf16_img_s:.1f} img/s) — the int8 "
+              "kernels should always win at this shape", file=sys.stderr)
+
+    suffix = "_int8" if best == "int8" else ""
     per_chip_target = 10000.0 / 8.0  # v5e-8 north star, per chip
     result = {
-        "metric": metric,
+        "metric": (f"cyclegan_resnet{args.blocks}_{args.size}sq"
+                   f"{suffix}_infer_throughput"),
         "value": round(images_per_sec, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / per_chip_target, 3),
-        "bf16_img_s": round(bf16_img_s, 1),
+        "engine": best,
     }
+    if bf16_img_s is not None:
+        result["bf16_img_s"] = round(bf16_img_s, 1)
+    if int8_img_s is not None:
+        result["int8_img_s"] = round(int8_img_s, 1)
+    if int8_error:
+        result["int8_error"] = int8_error
     print(json.dumps(result))
     return result
 

@@ -27,6 +27,9 @@ def parse_args(argv=None):
     p.add_argument("--model_dir", type=str, required=True,
                    help="dir containing netG_A2B.npz / netG_B2A.npz")
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--engine", default="default", choices=["default", "int8"],
+                   help="int8 = quantized res-trunk MXU engine (p2p* "
+                   "generators; the TRT-int8-role fast tier)")
     p.add_argument("--platform", default="", choices=["", "cpu", "tpu", "axon"],
                    help="force a JAX platform (the baked sitecustomize pins the TPU)")
     return p.parse_args(argv)
@@ -59,6 +62,14 @@ def main(argv=None):
     state = engine.init_state(jax.random.PRNGKey(0), image_size=args.size)
     state = ckpt.load_cyclegan_state(args.model_dir, state)
 
+    if args.engine == "int8":
+        q_a2b, q_b2a = engine.quantize_generators(state)
+        print("int8 engine: quantized both generators' residual trunks")
+        infer = lambda a, b: engine.infer_step_int8(state, q_a2b, q_b2a,
+                                                    (a, b))
+    else:
+        infer = lambda a, b: engine.infer_step(state, a, b)
+
     save_dir = os.path.join(args.model_dir, "img_gen_test_rec")
     os.makedirs(save_dir, exist_ok=True)
 
@@ -67,7 +78,7 @@ def main(argv=None):
     for i, batch in enumerate(loader):
         a = jnp.asarray(batch["A"])
         b = jnp.asarray(batch["B"])
-        fake_b, fake_a, rec_b = engine.infer_step(state, a, b)
+        fake_b, fake_a, rec_b = infer(a, b)
         for j in range(a.shape[0]):
             name = batch["name"][j]
             arr = np.clip(denormalize(np.asarray(rec_b[j])), 0, 1)

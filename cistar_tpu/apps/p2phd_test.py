@@ -43,8 +43,9 @@ def main(argv=None):
         n_local_enhancers=opt.n_local_enhancers,
         n_blocks_local=opt.n_blocks_local, norm=opt.norm,
         no_instance=opt.no_instance, r2l=opt.r2l, image_size=size,
-        compute_dtype=jnp.bfloat16 if (opt.fp16 or opt.data_type == 16)
-        else jnp.float32,
+        # data_type 8 = int8 trunk engine (non-quantized layers run bf16)
+        compute_dtype=jnp.bfloat16
+        if (opt.fp16 or opt.data_type in (8, 16)) else jnp.float32,
     )
     state = engine.init_state(jax.random.PRNGKey(0), image_size=size)
     save_dir = os.path.join(opt.checkpoints_dir, opt.name)
@@ -53,6 +54,14 @@ def main(argv=None):
     if state.g_stats is not None:  # BatchNorm G families (multiscale)
         g_stats = ckpt.load_network(save_dir, "G_stats", opt.which_epoch,
                                     state.g_stats)
+    qblocks = None
+    if opt.data_type == 8:
+        # the reference's int8 tier (test.py:45-48 → TRT int8 engines,
+        # run_engine.py:160-165): statically quantize the trunk once, then
+        # every inference below runs the int8-MXU forward
+        qblocks = engine.quantize_generator(g_params)
+        print(f"int8 engine: quantized {len(qblocks)} trunk blocks "
+              f"(netG={opt.netG})")
 
     web_dir = os.path.join(opt.results_dir, opt.name,
                            f"{opt.phase}_{opt.which_epoch}")
@@ -66,8 +75,12 @@ def main(argv=None):
     example = jnp.zeros((1, size, size, label_ch), jnp.float32)
 
     if opt.export_onnx:
-        save_compiled(lambda label: engine.infer_step(g_params, label),
-                      (example,), opt.export_onnx)
+        if qblocks is not None:
+            save_compiled(lambda label: engine.infer_step_int8(
+                g_params, qblocks, label), (example,), opt.export_onnx)
+        else:
+            save_compiled(lambda label: engine.infer_step(
+                g_params, label, g_stats=g_stats), (example,), opt.export_onnx)
         print("AOT-serialized generator executable ->", opt.export_onnx)
         return
 
@@ -88,6 +101,8 @@ def main(argv=None):
         except Exception as e:  # backend without trace support
             print(f"(per-op trace unavailable: {e})")
         infer = run
+    elif qblocks is not None:
+        infer = lambda label: engine.infer_step_int8(g_params, qblocks, label)
     else:
         infer = lambda label: engine.infer_step(g_params, label,
                                                 g_stats=g_stats)
@@ -116,9 +131,14 @@ def main(argv=None):
                   "path, not the loaded engine (export with instance inputs "
                   "to profile that path)")
             warned_engine_bypass = True
-        fake = (np.asarray(infer(label)) if inst is None
-                else np.asarray(engine.infer_step(g_params, label, inst,
-                                                  g_stats=g_stats)))
+        if inst is None:
+            fake = np.asarray(infer(label))
+        elif qblocks is not None:
+            fake = np.asarray(engine.infer_step_int8(g_params, qblocks,
+                                                     label, inst=inst))
+        else:
+            fake = np.asarray(engine.infer_step(g_params, label, inst,
+                                                g_stats=g_stats))
         name = os.path.splitext(os.path.basename(batch["path"][0]))[0]
         ims, txts, links = [], [], []
         tiles = [("input_label", batch["label"][0]),

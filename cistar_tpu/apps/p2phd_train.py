@@ -73,6 +73,12 @@ def main(argv=None):
         state = state._replace(
             g=ckpt.load_network(pre, "G", opt.which_epoch, state.g),
             d=ckpt.load_network(pre, "D", opt.which_epoch, state.d))
+        if state.g_stats is not None:
+            # BatchNorm G families (netG=multiscale) save EMA running stats
+            # alongside the params; a resume that drops them would silently
+            # re-warm the averages and skew post-resume eval/inference
+            state = state._replace(g_stats=ckpt.load_network(
+                pre, "G_stats", opt.which_epoch, state.g_stats))
         print("loaded networks from", pre)
 
     mesh = make_mesh()

@@ -85,6 +85,8 @@ class CycleGAN:
                                      n_residual_blocks, dense_decoder)
         self.D_a = PatchDiscriminator()
         self.D_b = PatchDiscriminator()
+        self.gen_type = gen_type
+        self.n_residual_blocks = n_residual_blocks
         self.input_nc, self.output_nc = input_nc, output_nc
         self.lr, self.n_epochs = lr, n_epochs
         self.start_epoch, self.decay_epoch = start_epoch, decay_epoch
@@ -250,6 +252,40 @@ class CycleGAN:
         fake_a = self._gen(self.G_b2a, state.g_b2a, real_b)
         renorm = (fake_a - 0.5) / 0.5
         recover_b = self._gen(self.G_a2b, state.g_a2b, renorm)
+        return fake_b, fake_a, recover_b
+
+    # -- int8 inference tier (TRT-int8 role, p2pHD/run_engine.py:160-165) ----
+    def quantize_generators(self, state: CycleGANState):
+        """Static int8 quantization of both generators' residual trunks for
+        :meth:`infer_step_int8`. ResNet family ('p2p*') only — the other
+        generator variants have no res-block trunk to quantize."""
+        from cistar_tpu.ops.quant_pallas import quantize_resnet_trunk
+
+        if not self.gen_type.startswith("p2p"):
+            raise NotImplementedError(
+                f"no int8 inference engine for gen_type='{self.gen_type}' "
+                "(supported: p2p*); use the bf16 path")
+        return (quantize_resnet_trunk(state.g_a2b, self.n_residual_blocks),
+                quantize_resnet_trunk(state.g_b2a, self.n_residual_blocks))
+
+    @functools.partial(jax.jit, static_argnums=(0, 5))
+    def infer_step_int8(self, state: CycleGANState, q_a2b, q_b2a,
+                        batch_ab, expect_kernel=False):
+        """Quantized :meth:`infer_step`: fake_B, fake_A, recover_B with both
+        generators' trunks on the int8 MXU (``models.fast_infer``)."""
+        from cistar_tpu.models.fast_infer import \
+            resnet_generator_int8_trunk_apply as int8_fwd
+
+        real_a, real_b = batch_ab
+
+        def gen(params, q, x):
+            return int8_fwd(params, q, x.astype(self.cdt),
+                            self.n_residual_blocks,
+                            expect_kernel=expect_kernel).astype(jnp.float32)
+
+        fake_b = gen(state.g_a2b, q_a2b, real_a)
+        fake_a = gen(state.g_b2a, q_b2a, real_b)
+        recover_b = gen(state.g_a2b, q_a2b, (fake_a - 0.5) / 0.5)
         return fake_b, fake_a, recover_b
 
     def make_infer_fn(self, params_a2b):

@@ -117,6 +117,10 @@ class Pix2PixHD:
         self.D = define_d(ndf, n_layers_d, norm, use_sigmoid=not use_lsgan,
                           num_d=num_d, get_interm_feat=use_ganfeat_loss)
         self.net_g = net_g
+        self.n_downsample_global = n_downsample_global
+        self.n_blocks_global = n_blocks_global
+        self.n_local_enhancers = n_local_enhancers
+        self.n_blocks_local = n_blocks_local
         self.input_nc, self.output_nc, self.label_nc = input_nc, output_nc, label_nc
         self.no_instance, self.r2l = no_instance, r2l
         self.use_lsgan = use_lsgan
@@ -379,6 +383,57 @@ class Pix2PixHD:
         running averages."""
         input_label = self.encode_input(label, inst)
         return self._g_apply(g_params, input_label, stats=g_stats)
+
+    # -- int8 inference tier (the reference's --data_type 8 / TRT-int8 flow,
+    #    p2pHD/test.py:45-48, run_engine.py:160-165) --------------------------
+    def quantize_generator(self, g_params):
+        """Static int8 quantization of the generator's trunk for
+        :meth:`infer_step_int8`. Supported families: global, local, UNet."""
+        from cistar_tpu.models import fast_infer as fi
+        from cistar_tpu.ops.quant_pallas import quantize_global_trunk
+
+        if self.net_g == "global":
+            return quantize_global_trunk(g_params, self.n_blocks_global)
+        if self.net_g == "local":
+            return fi.quantize_local_enhancer(g_params, self.n_blocks_global)
+        if self.net_g == "UNet":
+            return fi.quantize_unet_msrb(g_params, self.n_blocks_global)
+        raise NotImplementedError(
+            f"no int8 inference engine for netG='{self.net_g}' "
+            "(supported: global, local, UNet); run --data_type 16/32")
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def infer_step_int8(self, g_params, qblocks, label, expect_kernel=False,
+                        inst=None):
+        """Quantized-engine inference: encode_input exactly as
+        :meth:`infer_step`, then the int8-MXU forward for this G family
+        (``models.fast_infer``). ``qblocks`` from :meth:`quantize_generator`.
+        BatchNorm families have no int8 engine (quantize_generator raises),
+        so no ``g_stats`` is threaded here."""
+        from cistar_tpu.models import fast_infer as fi
+
+        x = self.encode_input(label, inst).astype(self.cdt)
+        if self.net_g == "global":
+            out = fi.global_generator_int8_trunk_apply(
+                g_params, qblocks, x,
+                n_downsampling=self.n_downsample_global,
+                n_blocks=self.n_blocks_global, expect_kernel=expect_kernel)
+        elif self.net_g == "local":
+            out = fi.local_enhancer_int8_apply(
+                g_params, qblocks, x,
+                n_downsample_global=self.n_downsample_global,
+                n_blocks_global=self.n_blocks_global,
+                n_local_enhancers=self.n_local_enhancers,
+                n_blocks_local=self.n_blocks_local,
+                expect_kernel=expect_kernel)
+        elif self.net_g == "UNet":
+            out = fi.unet_msrb_int8_apply(
+                g_params, qblocks, x, n_blocks=self.n_blocks_global,
+                expect_kernel=expect_kernel)
+        else:
+            raise NotImplementedError(
+                f"no int8 inference engine for netG='{self.net_g}'")
+        return out.astype(jnp.float32)
 
     @functools.partial(jax.jit, static_argnums=0)
     def infer_encoded(self, g_params, e_params, label, inst, image):

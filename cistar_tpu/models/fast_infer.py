@@ -52,7 +52,8 @@ def resnet_generator_fast_apply(params: Dict[str, Any], x: jnp.ndarray,
 def resnet_generator_int8_trunk_apply(params: Dict[str, Any],
                                       qblocks, x: jnp.ndarray,
                                       n_residual_blocks: int = 9,
-                                      int8_carrier: str = "bf16") -> jnp.ndarray:
+                                      int8_carrier: str = "bf16",
+                                      expect_kernel: bool = False) -> jnp.ndarray:
     """ResnetGenerator forward with the residual trunk on the int8 MXU.
 
     Stem/downsample/upsample layers run bf16 under XLA; the 9 res blocks —
@@ -60,12 +61,19 @@ def resnet_generator_int8_trunk_apply(params: Dict[str, Any],
     (``ops.quant_pallas``), which the v5e MXU executes at ~1.7× the bf16
     rate. ``qblocks`` comes from ``quant_pallas.quantize_resnet_trunk`` over
     the same param tree. This is the TRT-int8-role fast inference engine.
+
+    Stem/head use the plain reflect conv, NOT ``conv2d_reflect_thin``: at
+    the flagship shape (256², batch 256) the thin im2col stem/head drops
+    the whole engine from 1964.7 to 1141.8 img/s on the v5e chip (the k²=49
+    column stack at full resolution × large batch is pure HBM traffic) —
+    this was the round-2 driver-bench regression. Thin convs stay on the
+    512²/small-batch pix2pixHD engines where they measured faster.
     """
     from cistar_tpu.ops.quant_pallas import (resblock_chain_int8,
                                              resblock_chain_int8_bf16io)
 
     p = params["init_conv"]
-    h = tnn.conv2d_reflect_thin(x, p["w"], p.get("b"))
+    h = tnn.conv2d_reflect(x, p["w"], p.get("b"))
     h = tnn.relu(tnn.instance_norm(h))
     for i in range(3):
         p = params[f"down_{i}"]
@@ -73,14 +81,14 @@ def resnet_generator_int8_trunk_apply(params: Dict[str, Any],
         h = tnn.relu(tnn.instance_norm(h))
     chain = resblock_chain_int8_bf16io if int8_carrier == "bf16" \
         else resblock_chain_int8
-    h = chain(h, qblocks)
+    h = chain(h, qblocks, expect_kernel=expect_kernel)
     for i in range(3):
         p = params[f"up_{i}"]
         h = tnn.conv_transpose2d(h, p["w"], p.get("b"), stride=2, padding=1,
                                  output_padding=1)
         h = tnn.relu(tnn.instance_norm(h))
     p = params["out_conv"]
-    h = tnn.conv2d_reflect_thin(h, p["w"], p.get("b"))
+    h = tnn.conv2d_reflect(h, p["w"], p.get("b"))
     return tnn.tanh(h)
 
 
@@ -116,7 +124,8 @@ def global_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
                                       x: jnp.ndarray,
                                       n_downsampling: int = 4,
                                       n_blocks: int = 9,
-                                      cout_tile=None) -> jnp.ndarray:
+                                      cout_tile=None,
+                                      expect_kernel: bool = False) -> jnp.ndarray:
     """GlobalGenerator forward with the res trunk on the int8 MXU.
 
     The reference's TensorRT-int8 engine is exactly this network
@@ -144,9 +153,10 @@ def global_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
         h = tnn.conv2d(h, p["w"], p.get("b"), stride=2, padding=1)
         h = tnn.relu(tnn.instance_norm(h))
     if whole_image_resblock_fits(h.shape[1], h.shape[2], h.shape[-1]):
-        h = resblock_chain_int8_bf16io(h, qblocks)
+        h = resblock_chain_int8_bf16io(h, qblocks, expect_kernel=expect_kernel)
     else:
-        h = resblock_chain_int8_tiled(h, qblocks, cout_tile=cout_tile)
+        h = resblock_chain_int8_tiled(h, qblocks, cout_tile=cout_tile,
+                                      expect_kernel=expect_kernel)
     for i in range(n_downsampling):
         p = trunk[f"up_{i}"]["convt"]
         h = tnn.conv_transpose2d(h, p["w"], p.get("b"), stride=2, padding=1,
@@ -165,8 +175,8 @@ def quantize_unet_msrb(params: Dict[str, Any], n_blocks: int = 3):
 
 
 def unet_msrb_int8_apply(params: Dict[str, Any], qblocks, x: jnp.ndarray,
-                         n_blocks: int = 3,
-                         cout_tile: int = 128) -> jnp.ndarray:
+                         n_blocks: int = 3, cout_tile: int = 128,
+                         expect_kernel: bool = False) -> jnp.ndarray:
     """``UNetGeneratorHD`` forward with the MSRB trunk on the int8 MXU.
 
     The shipped ``r2l_MSRB*`` deployment model (``networks.py:947-1055``):
@@ -189,7 +199,8 @@ def unet_msrb_int8_apply(params: Dict[str, Any], qblocks, x: jnp.ndarray,
         h = tnn.relu(tnn.instance_norm(h))
         skips.append(h)
     for i in range(n_blocks):
-        h = msrb_block_int8(h, qblocks[i], cout_tile=cout_tile)
+        h = msrb_block_int8(h, qblocks[i], cout_tile=cout_tile,
+                            expect_kernel=expect_kernel)
     for i in range(3):
         skip = skips[2 - i]
         h = jnp.concatenate([h, skip], axis=-1)
@@ -215,7 +226,8 @@ def local_enhancer_int8_apply(params: Dict[str, Any], qblocks, x: jnp.ndarray,
                               n_blocks_global: int = 9,
                               n_local_enhancers: int = 1,
                               n_blocks_local: int = 3,
-                              cout_tile=None) -> jnp.ndarray:
+                              cout_tile=None,
+                              expect_kernel: bool = False) -> jnp.ndarray:
     """``LocalEnhancer`` forward (the 1024² coarse-to-fine generator) with
     the global trunk's res blocks on the int8 MXU.
 
@@ -245,9 +257,10 @@ def local_enhancer_int8_apply(params: Dict[str, Any], qblocks, x: jnp.ndarray,
         h = tnn.conv2d(h, p["w"], p.get("b"), stride=2, padding=1)
         h = tnn.relu(tnn.instance_norm(h))
     if whole_image_resblock_fits(h.shape[1], h.shape[2], h.shape[-1]):
-        h = resblock_chain_int8_bf16io(h, qblocks)
+        h = resblock_chain_int8_bf16io(h, qblocks, expect_kernel=expect_kernel)
     else:
-        h = resblock_chain_int8_tiled(h, qblocks, cout_tile=cout_tile)
+        h = resblock_chain_int8_tiled(h, qblocks, cout_tile=cout_tile,
+                                      expect_kernel=expect_kernel)
     for i in range(n_downsample_global):
         p = g[f"up_{i}"]["convt"]
         h = tnn.conv_transpose2d(h, p["w"], p.get("b"), stride=2, padding=1,

@@ -259,7 +259,8 @@ def _resblock_int8_bf16io_emulate(hx, qblk, eps=_EPS):
 def resblock_chain_int8_bf16io(x: jnp.ndarray,
                                qblocks: Sequence[Dict[str, Any]],
                                eps: float = _EPS, interpret: bool = False,
-                               force_emulate: bool = False) -> jnp.ndarray:
+                               force_emulate: bool = False,
+                               expect_kernel: bool = False) -> jnp.ndarray:
     """Res-block chain with int8 MXU convs and a full-precision carrier.
 
     Preferred over :func:`resblock_chain_int8` for fidelity: only the conv
@@ -269,6 +270,11 @@ def resblock_chain_int8_bf16io(x: jnp.ndarray,
     n, h, w, c = x.shape
     use_kernel = (interpret or _on_tpu()) and not force_emulate \
         and whole_image_resblock_fits(h, w, c)
+    if not force_emulate:
+        _check_kernel_path(
+            "resblock_chain_int8_bf16io", use_kernel, expect_kernel,
+            "not on TPU" if not (interpret or _on_tpu())
+            else f"block ({h}x{w}x{c}) exceeds the whole-image VMEM budget")
     hx = x
     for qblk in qblocks:
         if use_kernel:
@@ -329,9 +335,32 @@ def _on_tpu() -> bool:
         return False
 
 
+_warned_fallbacks: set = set()
+
+
+def _check_kernel_path(name: str, use_kernel: bool, expect_kernel: bool,
+                       why: str) -> None:
+    """Loud-fallback guard: emulation is numerically identical but ~10×
+    slower — a silent drop is how stale perf claims happen (bench/CLI users
+    think they measured the kernel). Warns once per site; raises when the
+    caller demanded the kernel (``expect_kernel=True``, used by bench)."""
+    if use_kernel:
+        return
+    msg = (f"{name}: int8 Pallas kernel NOT used ({why}); "
+           "running XLA emulation (numerically identical, ~10x slower)")
+    if expect_kernel:
+        raise RuntimeError(msg)
+    if name not in _warned_fallbacks:  # pragma: no branch
+        _warned_fallbacks.add(name)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)
+
+
 def resblock_chain_int8(x: jnp.ndarray, qblocks: Sequence[Dict[str, Any]],
                         eps: float = _EPS, interpret: bool = False,
-                        force_emulate: bool = False) -> jnp.ndarray:
+                        force_emulate: bool = False,
+                        expect_kernel: bool = False) -> jnp.ndarray:
     """Run a chain of residual blocks through the int8 megakernel.
 
     ``x`` is the float trunk activation (B,H,W,C); returns the float output
@@ -341,6 +370,11 @@ def resblock_chain_int8(x: jnp.ndarray, qblocks: Sequence[Dict[str, Any]],
     vmem_need = (h * w * c) * (1 + 1 + 4 + 4 + 1) + 2 * 9 * c * c + 8 * c
     use_kernel = (interpret or _on_tpu()) and not force_emulate \
         and vmem_need <= 13 * 1024 * 1024 and h >= 3 and w >= 3
+    if not force_emulate:
+        _check_kernel_path(
+            "resblock_chain_int8", use_kernel, expect_kernel,
+            "not on TPU" if not (interpret or _on_tpu())
+            else f"block ({h}x{w}x{c}) exceeds the whole-image VMEM budget")
     hq, hs = quantize_act(x)
     for qblk in qblocks:
         if use_kernel:
@@ -537,7 +571,10 @@ def pick_cout_tile(hw: int, c: int,
         if ct <= c and c % ct == 0 \
                 and 2.2 * hw * c + 9 * c * ct + 12 * hw * ct <= budget:
             return ct
-    return 64
+    raise ValueError(
+        f"no cout tile in (512,256,128,64) both divides C={c} and fits the "
+        f"VMEM budget ({budget} B) at hw={hw}; pass cout_tile explicitly or "
+        "use the emulation path (force_emulate=True)")
 
 
 def resblock_chain_int8_tiled(x: jnp.ndarray,
@@ -545,7 +582,8 @@ def resblock_chain_int8_tiled(x: jnp.ndarray,
                               cout_tile: Optional[int] = None,
                               eps: float = _EPS,
                               interpret: bool = False,
-                              force_emulate: bool = False) -> jnp.ndarray:
+                              force_emulate: bool = False,
+                              expect_kernel: bool = False) -> jnp.ndarray:
     """Cout-tiled int8 res-block chain (full-precision carrier).
 
     For trunks too large for the whole-image kernel (weights per block
@@ -559,6 +597,10 @@ def resblock_chain_int8_tiled(x: jnp.ndarray,
         raise ValueError(f"cout_tile {cout_tile} must divide C={c}")
     use_kernel = (interpret or _on_tpu()) and not force_emulate \
         and h >= 3 and w >= 3
+    if not force_emulate:
+        _check_kernel_path("resblock_chain_int8_tiled", use_kernel,
+                           expect_kernel, "not on TPU" if not
+                           (interpret or _on_tpu()) else f"h,w=({h},{w})<3")
     hx = x
     for qblk in qblocks:
         if use_kernel:
@@ -743,7 +785,8 @@ def _msrb_stage_emulate(xq, xscales, w3q, w5q, sb, ct, quant_out, out_dtype):
 
 def msrb_block_int8(x: jnp.ndarray, qblk: Dict[str, jnp.ndarray],
                     cout_tile: int = 128, interpret: bool = False,
-                    force_emulate: bool = False) -> jnp.ndarray:
+                    force_emulate: bool = False,
+                    expect_kernel: bool = False) -> jnp.ndarray:
     """One MSRB block with both conv stages on the int8 MXU; the 1x1 fuse
     stays bf16 XLA. Returns the block output in ``x.dtype``."""
     n, h, w, c = x.shape
@@ -751,6 +794,10 @@ def msrb_block_int8(x: jnp.ndarray, qblk: Dict[str, jnp.ndarray],
     ct = min(cout_tile, nf)
     use_kernel = (interpret or _on_tpu()) and not force_emulate \
         and h >= 5 and w >= 5 and nf % ct == 0
+    if not force_emulate:
+        _check_kernel_path("msrb_block_int8", use_kernel, expect_kernel,
+                           "not on TPU" if not (interpret or _on_tpu())
+                           else f"h,w=({h},{w})<5 or nf={nf} % ct={ct} != 0")
     stage = _run_msrb_stage if use_kernel else _msrb_stage_emulate
     kw = {"interpret": interpret} if use_kernel else {}
 

@@ -77,6 +77,18 @@ def _list_images(exp_dir: str, limit: int = 12) -> List[str]:
     return [rel for _t, rel in found[:limit]]
 
 
+def _sanitize(obj):
+    """Replace non-finite floats with None, recursively (valid strict JSON)."""
+    if isinstance(obj, float):
+        return obj if obj == obj and obj not in (float("inf"), float("-inf")) \
+            else None
+    if isinstance(obj, dict):
+        return {k: _sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_sanitize(v) for v in obj]
+    return obj
+
+
 class _Handler(BaseHTTPRequestHandler):
     exp_dir: str = "."
 
@@ -99,8 +111,11 @@ class _Handler(BaseHTTPRequestHandler):
         elif self.path == "/data":
             data = parse_history(self.exp_dir)
             data["images"] = _list_images(self.exp_dir)
+            # bare NaN/Infinity is invalid JSON — the browser's
+            # response.json() rejects it and the page freezes on the last
+            # good frame; map non-finite floats to null (renders as holes)
             self._send(200, "application/json",
-                       json.dumps(data).encode())
+                       json.dumps(_sanitize(data)).encode())
         elif self.path.startswith("/images/"):
             rel = self.path[len("/images/"):]
             base = os.path.realpath(self.exp_dir)

@@ -38,6 +38,11 @@ def test_cyclegan_train_and_test_cli(dataroot, tmp_path):
         "--model_dir", out + "_p2p", "--dtype", "fp32",
     ])
     assert glob.glob(out + "_p2p/img_gen_test_rec/panel_*.png")
+    # int8 fast tier from the CLI (TRT-int8 role)
+    test_main([
+        "--dataroot", dataroot, "--size", "32", "--gen_type", "p2p",
+        "--model_dir", out + "_p2p", "--engine", "int8",
+    ])
 
 
 def test_p2phd_train_and_test_cli(dataroot, tmp_path):
@@ -59,6 +64,11 @@ def test_p2phd_train_and_test_cli(dataroot, tmp_path):
                         "--how_many", "1"])
     assert os.path.exists(str(tmp_path / "results" / "smoke" / "test_latest"
                               / "index.html"))
+    # int8 fast tier from the CLI (reference --data_type 8, test.py:45-48)
+    test_main(common + ["--results_dir", str(tmp_path / "results_int8"),
+                        "--how_many", "1", "--data_type", "8"])
+    assert os.path.exists(str(tmp_path / "results_int8" / "smoke"
+                              / "test_latest" / "index.html"))
 
 
 def test_ist_main_cli(dataroot, tmp_path):

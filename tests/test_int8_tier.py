@@ -1,0 +1,127 @@
+"""Product-surface tests for the int8 inference tier (the reference's
+``--data_type 8`` / TensorRT-int8 flow, ``p2pHD/test.py:45-48``,
+``p2pHD/run_engine.py:160-165``).
+
+On the CPU test platform the chains fall back to the XLA emulation whose
+math is bit-identical to the kernels (covered by interpret-mode parity tests
+in test_quant_pallas.py), so these golden comparisons validate exactly what
+the TPU kernels compute.
+"""
+
+import os
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.fast
+
+
+def _max_err(a, b):
+    return float(jnp.max(jnp.abs(a - b)))
+
+
+@pytest.fixture(scope="module")
+def p2p_engine():
+    from cistar_tpu.engines.p2phd import Pix2PixHD
+
+    eng = Pix2PixHD(net_g="global", input_nc=1, output_nc=1, label_nc=0,
+                    ngf=8, n_downsample_global=2, n_blocks_global=2,
+                    no_instance=True, r2l=True, image_size=32,
+                    compute_dtype=jnp.float32)
+    state = eng.init_state(jax.random.PRNGKey(0), image_size=32)
+    return eng, state
+
+
+def test_p2phd_int8_matches_bf16_golden(p2p_engine):
+    eng, state = p2p_engine
+    label = jnp.asarray(np.random.RandomState(0)
+                        .rand(2, 32, 32, 1).astype(np.float32) * 2 - 1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # CPU fallback note
+        q = eng.quantize_generator(state.g)
+        y_int8 = eng.infer_step_int8(state.g, q, label)
+    y_ref = eng.infer_step(state.g, label)
+    assert y_int8.shape == y_ref.shape
+    # only losses are the per-block activation round trips through int8
+    assert _max_err(y_int8, y_ref) < 0.3, _max_err(y_int8, y_ref)
+
+
+def test_p2phd_int8_unsupported_family_raises():
+    from cistar_tpu.engines.p2phd import Pix2PixHD
+
+    eng = Pix2PixHD(net_g="multiscale", input_nc=1, output_nc=1, label_nc=0,
+                    ngf=8, n_downsample_global=2, n_blocks_global=1,
+                    r2l=True, image_size=32, compute_dtype=jnp.float32)
+    state = eng.init_state(jax.random.PRNGKey(0), image_size=32)
+    with pytest.raises(NotImplementedError, match="multiscale"):
+        eng.quantize_generator(state.g)
+
+
+def test_p2phd_int8_aot_round_trip(p2p_engine, tmp_path):
+    """The int8 engine must AOT-serialize like the bf16 one (TRT-engine-file
+    role, ``run_engine.py:104-120``)."""
+    from cistar_tpu.runtime.aot import load_compiled, save_compiled
+
+    eng, state = p2p_engine
+    label = jnp.asarray(np.random.RandomState(1)
+                        .rand(1, 32, 32, 1).astype(np.float32) * 2 - 1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        q = eng.quantize_generator(state.g)
+        path = str(tmp_path / "g_int8.aot")
+        save_compiled(lambda lab: eng.infer_step_int8(state.g, q, lab),
+                      (label,), path)
+        assert os.path.getsize(path) > 0
+        run = load_compiled(path)
+        y_loaded = run(label)
+        y_direct = eng.infer_step_int8(state.g, q, label)
+    np.testing.assert_allclose(np.asarray(y_loaded), np.asarray(y_direct),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_cyclegan_int8_matches_bf16_golden():
+    from cistar_tpu.engines.cyclegan import CycleGAN
+
+    eng = CycleGAN(gen_type="p2p", input_nc=1, output_nc=1, in_features=8,
+                   n_residual_blocks=2, image_size=32, batch_size=2,
+                   compute_dtype=jnp.float32)
+    state = eng.init_state(jax.random.PRNGKey(0), image_size=32)
+    rng = np.random.RandomState(2)
+    a = jnp.asarray(rng.rand(2, 32, 32, 1).astype(np.float32) * 2 - 1)
+    b = jnp.asarray(rng.rand(2, 32, 32, 1).astype(np.float32) * 2 - 1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        q_a2b, q_b2a = eng.quantize_generators(state)
+        fb_q, fa_q, rb_q = eng.infer_step_int8(state, q_a2b, q_b2a, (a, b))
+    fb, fa, rb = eng.infer_step(state, a, b)
+    for got, ref in ((fb_q, fb), (fa_q, fa), (rb_q, rb)):
+        assert got.shape == ref.shape
+        assert _max_err(got, ref) < 0.3, _max_err(got, ref)
+
+
+def test_cyclegan_int8_unsupported_gen_type():
+    from cistar_tpu.engines.cyclegan import CycleGAN
+
+    eng = CycleGAN(gen_type="unet_content", in_features=8,
+                   n_residual_blocks=1, image_size=32)
+    state = eng.init_state(jax.random.PRNGKey(0), image_size=32)
+    with pytest.raises(NotImplementedError, match="unet_content"):
+        eng.quantize_generators(state)
+
+
+def test_expect_kernel_raises_on_fallback():
+    """bench.py runs with expect_kernel=True — on a platform without the
+    Pallas kernel the engine must raise, not silently time the emulation."""
+    from cistar_tpu.ops.quant_pallas import (quantize_resblock,
+                                             resblock_chain_int8_bf16io)
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(1, 8, 8, 8).astype(np.float32))
+    blk = {"conv1": {"w": jnp.asarray(rng.randn(3, 3, 8, 8), jnp.float32)},
+           "conv2": {"w": jnp.asarray(rng.randn(3, 3, 8, 8), jnp.float32)}}
+    q = [quantize_resblock(blk)]
+    with pytest.raises(RuntimeError, match="NOT used"):
+        resblock_chain_int8_bf16io(x, q, expect_kernel=True)
