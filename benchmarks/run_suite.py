@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 
@@ -245,11 +246,45 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--configs", default="gatys256",
                    help="comma list or 'all': " + ",".join(CONFIGS))
+    p.add_argument("--out", default="",
+                   help="also write a JSON artifact (results + run metadata) "
+                   "— the committed evidence for every number in the docs")
     args = p.parse_args(argv)
+    from cistar_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     names = list(CONFIGS) if args.configs == "all" else args.configs.split(",")
+    results = []
     for name in names:
-        result = CONFIGS[name]()
+        try:
+            result = CONFIGS[name]()
+        except Exception as e:  # record the failure, keep the suite going
+            result = {"metric": name, "error": f"{type(e).__name__}: {e}"}
+        result["config"] = name
+        results.append(result)
         print(json.dumps(result), flush=True)
+    if args.out:
+        import datetime
+        import subprocess
+
+        import jax
+
+        try:
+            commit = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+                text=True, cwd=os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))).stdout.strip()
+        except Exception:
+            commit = "unknown"
+        artifact = {
+            "commit": commit,
+            "date": datetime.datetime.now().isoformat(timespec="seconds"),
+            "device": str(jax.devices()[0]),
+            "results": results,
+        }
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"wrote {args.out}", flush=True)
 
 
 if __name__ == "__main__":

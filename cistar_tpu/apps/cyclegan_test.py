@@ -30,6 +30,10 @@ def parse_args(argv=None):
     p.add_argument("--engine", default="default", choices=["default", "int8"],
                    help="int8 = quantized res-trunk MXU engine (p2p* "
                    "generators; the TRT-int8-role fast tier)")
+    p.add_argument("--compile_timeout", type=float, default=None,
+                   help="abort if the first inference is still compiling "
+                        "after this many seconds (default: no limit, env "
+                        "CISTAR_COMPILE_TIMEOUT)")
     p.add_argument("--platform", default="", choices=["", "cpu", "tpu", "axon"],
                    help="force a JAX platform (the baked sitecustomize pins the TPU)")
     return p.parse_args(argv)
@@ -73,12 +77,19 @@ def main(argv=None):
     save_dir = os.path.join(args.model_dir, "img_gen_test_rec")
     os.makedirs(save_dir, exist_ok=True)
 
+    from cistar_tpu.core.compile_guard import CompileWatchdog
+
     dataset = CycleGANImageDataset(args.dataroot, size=args.size, mode="test")
     loader = Loader(dataset, args.batchSize)
+    watchdog = CompileWatchdog("inference step",
+                               timeout=args.compile_timeout).start()
     for i, batch in enumerate(loader):
         a = jnp.asarray(batch["A"])
         b = jnp.asarray(batch["B"])
         fake_b, fake_a, rec_b = infer(a, b)
+        if i == 0:
+            jax.block_until_ready(rec_b)
+            watchdog.done()
         for j in range(a.shape[0]):
             name = batch["name"][j]
             arr = np.clip(denormalize(np.asarray(rec_b[j])), 0, 1)

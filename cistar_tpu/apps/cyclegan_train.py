@@ -41,6 +41,10 @@ def parse_args(argv=None):
     p.add_argument("--min_points", type=float, default=300.0,
                    help="sparse-radar-frame skip threshold (reference value "
                         "300 is calibrated for 512^2 frames)")
+    p.add_argument("--compile_timeout", type=float, default=None,
+                   help="abort if the first train step is still compiling "
+                        "after this many seconds (default: no limit, env "
+                        "CISTAR_COMPILE_TIMEOUT)")
     return p.parse_args(argv)
 
 
@@ -90,12 +94,21 @@ def main(argv=None):
     logger = MetricsLogger(output_dir, args.n_epochs, len(loader),
                            start_epoch=args.epoch, log_every=args.log_every)
 
+    from cistar_tpu.core.compile_guard import CompileWatchdog
+
+    watchdog = CompileWatchdog("CycleGAN train step",
+                               timeout=args.compile_timeout).start()
+    first_step = True
     for epoch in range(args.epoch, args.n_epochs):
         for batch in loader:
             arrs = {"A": batch["A"], "B": batch["B"]}
             arrs, _ = pad_batch_to_multiple(arrs, n_dev)
             dev_batch = shard_batch(arrs, mesh)
             state, metrics = engine.train_step(state, dev_batch["A"], dev_batch["B"])
+            if first_step:
+                jax.device_get(metrics)  # make the watchdog window honest
+                watchdog.done()
+                first_step = False
             logger.log({k: v for k, v in metrics.items()},
                        n_images=arrs["A"].shape[0])
         logger.end_epoch()

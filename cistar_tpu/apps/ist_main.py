@@ -90,7 +90,10 @@ def main(argv=None):
         content_list = content_list[: args.limit]
     max_iters = args.max_iters or None
 
+    from cistar_tpu.core.compile_guard import CompileWatchdog
+
     sweep_start = time.time()
+    watchdog = CompileWatchdog("L-BFGS transfer program").start()
     for i, path in enumerate(content_list):
         t0 = time.time()
         content_img = load_image(path, "RGB")
@@ -99,6 +102,7 @@ def main(argv=None):
             content_img = pil_polar_transform(content_img)
             style_in = pil_polar_transform(style_img)
         out = engine.transfer_style(content_img, style_in, max_iters=max_iters)
+        watchdog.done()  # transfer_style returns a fetched PIL image
         if args.hr:
             out = engine.hr_transfer_style(content_img, style_in, out)
         if args.polar:

@@ -37,6 +37,12 @@ class BaseOptions:
         p.add_argument("--fp16", action="store_true", help="bf16 compute policy on TPU")
         p.add_argument("--local_rank", type=int, default=0, help="unused (reference parity)")
         p.add_argument("--platform", default="", choices=["", "cpu", "tpu", "axon"])
+        p.add_argument("--compile_timeout", type=float, default=None,
+                       help="abort if the first step is still compiling after "
+                            "this many seconds (default: no limit, env "
+                            "CISTAR_COMPILE_TIMEOUT); heavy configs (512^2 "
+                            "UNet-MSRB train, 1024^2 global+local) can "
+                            "legitimately take tens of minutes")
 
         # input/output sizes
         p.add_argument("--batchSize", type=int, default=1)
@@ -123,7 +129,7 @@ class BaseOptions:
             # from a reference-written opt.txt would silently move training
             # off the TPU (and gpu_ids/nThreads are equally non-portable)
             env_keys = {"platform", "gpu_ids", "nThreads", "local_rank",
-                        "checkpoints_dir", "dataroot"}
+                        "checkpoints_dir", "dataroot", "compile_timeout"}
             for k, v in legacy.items():
                 if hasattr(opt, k) and k not in provided and k not in env_keys:
                     if v == "inf":

@@ -115,8 +115,12 @@ def main(argv=None):
         from cistar_tpu.data.aligned import AlignedDataset
 
         dataset = AlignedDataset(opt)
+    from cistar_tpu.core.compile_guard import CompileWatchdog
+
     loader = Loader(dataset, 1)
     warned_engine_bypass = False
+    watchdog = CompileWatchdog("inference step",
+                               timeout=opt.compile_timeout).start()
     for i, batch in enumerate(loader):
         if i >= opt.how_many:
             break
@@ -139,6 +143,7 @@ def main(argv=None):
         else:
             fake = np.asarray(engine.infer_step(g_params, label, inst,
                                                 g_stats=g_stats))
+        watchdog.done()  # np.asarray above is a synchronizing fetch
         name = os.path.splitext(os.path.basename(batch["path"][0]))[0]
         ims, txts, links = [], [], []
         tiles = [("input_label", batch["label"][0]),

@@ -96,8 +96,12 @@ def main(argv=None):
 
     import time as _time
 
+    from cistar_tpu.core.compile_guard import CompileWatchdog
+
     _t_first = _time.time()
     first_step = True
+    watchdog = CompileWatchdog("p2pHD train step",
+                               timeout=opt.compile_timeout).start()
     total_iter = (start_epoch - 1) * len(dataset) + epoch_iter
     for epoch in range(start_epoch, opt.niter + opt.niter_decay + 1):
         # derive the new epoch scalar FROM the existing leaf so its
@@ -116,6 +120,7 @@ def main(argv=None):
             if first_step:
                 # force the compile+execute to finish so the message is honest
                 jax.device_get(metrics)
+                watchdog.done()
                 print(f"first step done (compile+run "
                       f"{_time.time() - _t_first:.1f}s)", flush=True)
                 first_step = False
