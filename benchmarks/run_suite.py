@@ -99,7 +99,10 @@ def bench_cyclegan_train(size: int = 256, batch: int = 4, iters: int = 10):
             "vs_baseline": 0.0}
 
 
-def bench_p2phd_train(size: int, net_g: str, num_d: int, iters: int = 5):
+def bench_p2phd_train(size: int, net_g: str, num_d: int, iters: int = 5,
+                      compute_dtype=None):
+    import time as _t
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -107,15 +110,23 @@ def bench_p2phd_train(size: int, net_g: str, num_d: int, iters: int = 5):
     from cistar_tpu.engines.p2phd import Pix2PixHD
     from cistar_tpu.losses.perceptual import make_vgg_loss
 
-    eng = Pix2PixHD(net_g=net_g, ngf=64 if net_g == "global" else 32,
+    t_compile = _t.perf_counter()
+    if isinstance(compute_dtype, str):
+        compute_dtype = getattr(jnp, compute_dtype)
+    kw = {} if compute_dtype is None else {"compute_dtype": compute_dtype}
+    if net_g == "UNet":  # the shipped r2l_MSRB recipe: 3 MSRB stages
+        kw["n_blocks_global"] = 3
+    eng = Pix2PixHD(net_g=net_g, ngf=32 if net_g == "local" else 64,
                     num_d=num_d, image_size=size,
-                    vgg_criterion=make_vgg_loss() if net_g == "global" else None)
+                    vgg_criterion=make_vgg_loss() if net_g == "global" else None,
+                    **kw)
     state = eng.init_state(jax.random.PRNGKey(0), image_size=size)
     rng = np.random.RandomState(0)
     label = jnp.asarray(rng.rand(1, size, size, 1).astype(np.float32) * 2 - 1)
     image = jnp.asarray(rng.rand(1, size, size, 1).astype(np.float32) * 2 - 1)
     state, m, _ = eng.train_step(state, label, None, image)
     _sync(m)
+    compile_s = round(_t.perf_counter() - t_compile, 1)
     state, m, _ = eng.train_step(state, label, None, image)
     _sync(m)
     t0 = time.perf_counter()
@@ -124,7 +135,8 @@ def bench_p2phd_train(size: int, net_g: str, num_d: int, iters: int = 5):
     _sync(m)
     dt = (time.perf_counter() - t0) / iters
     return {"metric": f"p2phd_{net_g}_{size}sq_train_step_seconds",
-            "value": round(dt, 4), "unit": "s/step", "vs_baseline": 0.0}
+            "value": round(dt, 4), "unit": "s/step", "vs_baseline": 0.0,
+            "first_step_compile_s": compile_s}
 
 
 def bench_p2phd_infer(size: int = 512, batch: int = 16, iters: int = 10,
@@ -192,6 +204,10 @@ CONFIGS = {
     "p2phd1024": lambda: bench_p2phd_train(1024, "local", 3),
     "p2phd512_int8": lambda: bench_p2phd_infer(512, engine="int8"),
     "unet512_int8": lambda: bench_unet_infer(512),
+    # the shipped r2l_MSRB_7 recipe at its true resolution (fp32, 512²) —
+    # evidence that the heaviest train-step program compiles and steps
+    "unet512_train": lambda: bench_p2phd_train(512, "UNet", 2, iters=3,
+                                               compute_dtype="float32"),
 }
 
 

@@ -101,14 +101,18 @@ class CycleGAN:
 
     # -- state ---------------------------------------------------------------
     def init_state(self, rng: jax.Array, image_size: Optional[int] = None) -> CycleGANState:
+        from cistar_tpu.core.initutil import conv_init, zeros_nhwc
+
         size = image_size or self.image_size
         r = jax.random.split(rng, 5)
-        xa = jnp.zeros((1, size, size, self.input_nc), jnp.float32)
-        xb = jnp.zeros((1, size, size, self.output_nc), jnp.float32)
-        g_a2b = self.G_a2b.init(r[0], xa)["params"]
-        g_b2a = self.G_b2a.init(r[1], xb)["params"]
-        d_a = self.D_a.init(r[2], xa)["params"]
-        d_b = self.D_b.init(r[3], xb)["params"]
+        # fully-conv: init at a capped spatial size under one jit — params
+        # are bit-identical to full-size init (core/initutil)
+        xa = zeros_nhwc(size, self.input_nc)
+        xb = zeros_nhwc(size, self.output_nc)
+        g_a2b = conv_init(self.G_a2b, r[0], xa)["params"]
+        g_b2a = conv_init(self.G_b2a, r[1], xb)["params"]
+        d_a = conv_init(self.D_a, r[2], xa)["params"]
+        d_b = conv_init(self.D_b, r[3], xb)["params"]
         return CycleGANState(
             g_a2b=g_a2b, g_b2a=g_b2a, d_a=d_a, d_b=d_b,
             opt_g=self.tx.init({"a2b": g_a2b, "b2a": g_b2a}),

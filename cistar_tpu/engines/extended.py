@@ -140,25 +140,32 @@ class R2LTransfer:
 
     def init_frozen(self, rng: jax.Array, size: Optional[int] = None) -> Dict[str, Any]:
         """Initialize the frozen nets (replace with converted checkpoints)."""
+        from cistar_tpu.core.initutil import conv_init, zeros_nhwc
+
         size = size or self.image_size
         r = jax.random.split(rng, 6)
-        x = jnp.zeros((1, size, size, 1), jnp.float32)
-        feat = self.E.apply({"params": self.E.init(r[0], x)["params"]}, x)
+        x = zeros_nhwc(size, 1)  # capped init size: bit-identical params
+        radar_e = conv_init(self.E, r[0], x)["params"]
+        feat = jax.jit(lambda p, v: self.E.apply({"params": p}, v))(radar_e, x)
         return {
-            "radar_e": self.E.init(r[0], x)["params"],
-            "radar_g": self.G.init(r[1], feat)["params"],
-            "lidar_g": self.G.init(r[2], feat)["params"],
-            "net_dr": self.DImg.init(r[3], jnp.concatenate([x, x], -1))["params"],
-            "net_dl": self.DImg.init(r[4], jnp.concatenate([x, x], -1))["params"],
+            "radar_e": radar_e,
+            "radar_g": conv_init(self.G, r[1], feat)["params"],
+            "lidar_g": conv_init(self.G, r[2], feat)["params"],
+            "net_dr": conv_init(self.DImg, r[3],
+                                jnp.concatenate([x, x], -1))["params"],
+            "net_dl": conv_init(self.DImg, r[4],
+                                jnp.concatenate([x, x], -1))["params"],
         }
 
     def init_state(self, rng: jax.Array, size: Optional[int] = None) -> R2LState:
+        from cistar_tpu.core.initutil import conv_init, zeros_nhwc
+
         size = size or self.image_size
         r = jax.random.split(rng, 3)
-        x = jnp.zeros((1, size, size, 1), jnp.float32)
-        lidar_e = self.E.init(r[0], x)["params"]
-        feat = self.E.apply({"params": lidar_e}, x)
-        net_df = self.DF.init(r[1], feat)["params"]
+        x = zeros_nhwc(size, 1)
+        lidar_e = conv_init(self.E, r[0], x)["params"]
+        feat = jax.jit(lambda p, v: self.E.apply({"params": p}, v))(lidar_e, x)
+        net_df = conv_init(self.DF, r[1], feat)["params"]
         return R2LState(lidar_e=lidar_e, net_df=net_df,
                         opt_lidar_e=self.tx.init(lidar_e),
                         opt_df=self.tx.init(net_df),
@@ -287,18 +294,20 @@ class R2LAE:
                                                        b1=beta1, b2=0.999)
 
     def init_state(self, rng: jax.Array, size: Optional[int] = None) -> R2LAEState:
+        from cistar_tpu.core.initutil import conv_init, zeros_nhwc
+
         size = size or self.size
         r = jax.random.split(rng, 7)
-        x = jnp.zeros((1, size, size, 1), jnp.float32)
-        ve = self.E.init(r[0], x)
+        x = zeros_nhwc(size, 1)
+        ve = conv_init(self.E, r[0], x)
         e, stats_e = ve["params"], ve.get("batch_stats", {})
-        feat = self.E.apply(ve, x)
-        vgr = self.G_radar.init(r[1], feat)
-        vgl = self.G_lidar.init(r[2], feat)
-        vdf = self.DF.init(r[3], feat)
+        feat = jax.jit(self.E.apply)(ve, x)
+        vgr = conv_init(self.G_radar, r[1], feat)
+        vgl = conv_init(self.G_lidar, r[2], feat)
+        vdf = conv_init(self.DF, r[3], feat)
         g_radar, g_lidar, df = vgr["params"], vgl["params"], vdf["params"]
-        dr = self.DImg.init(r[4], x)["params"]
-        dl = self.DImg.init(r[5], x)["params"]
+        dr = conv_init(self.DImg, r[4], x)["params"]
+        dl = conv_init(self.DImg, r[5], x)["params"]
         opts = {k: self.tx.init(v) for k, v in
                 {"e": e, "g_radar": g_radar, "g_lidar": g_lidar,
                  "df": df, "dr": dr, "dl": dl}.items()}
@@ -453,9 +462,10 @@ class R2LImageCritic:
         )
 
     def init_state(self, rng: jax.Array, size: int = 512) -> CriticState:
+        from cistar_tpu.core.initutil import conv_init, zeros_nhwc
+
         r1, r2 = jax.random.split(rng)
-        x = jnp.zeros((1, size, size, 1), jnp.float32)
-        d = self.D.init(r1, x)["params"]
+        d = conv_init(self.D, r1, zeros_nhwc(size, 1))["params"]
         return CriticState(d=d, opt=self.tx.init(d), rng=r2)
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)

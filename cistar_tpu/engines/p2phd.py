@@ -166,15 +166,18 @@ class Pix2PixHD:
 
     # -- state ---------------------------------------------------------------
     def init_state(self, rng: jax.Array, image_size: Optional[int] = None) -> P2PState:
+        from cistar_tpu.core.initutil import conv_init, zeros_nhwc
+
         size = image_size or self.image_size
         r = jax.random.split(rng, 3)
-        xg = jnp.zeros((1, size, size, self.g_input_nc()), jnp.float32)
-        xd = jnp.zeros((1, size, size,
-                        self.label_input_nc() + self.output_nc), jnp.float32)
-        gv = self.G.init(r[0], xg)
+        # fully-conv models: init at a capped spatial size (bit-identical
+        # params, seconds instead of minutes of compile — see core/initutil)
+        xg = zeros_nhwc(size, self.g_input_nc())
+        xd = zeros_nhwc(size, self.label_input_nc() + self.output_nc)
+        gv = conv_init(self.G, r[0], xg)
         g = gv["params"]
         g_stats = gv.get("batch_stats")
-        dv = self.D.init(r[1], xd)
+        dv = conv_init(self.D, r[1], xd)
         d = dv["params"]
         if "batch_stats" in dv:
             raise NotImplementedError(
@@ -186,10 +189,14 @@ class Pix2PixHD:
                 if self.pool_size > 0 else None)
         e = opt_e = None
         if self.gen_features:
-            xe = jnp.zeros((1, size, size, self.output_nc), jnp.float32)
-            inst0 = jnp.zeros((1, size, size), jnp.int32)
-            e = self.E.init(jax.random.fold_in(r[0], 1), xe, inst0,
-                            self.max_instances)["params"]
+            from cistar_tpu.core.initutil import init_size
+
+            isz = init_size(size)
+            xe = jnp.zeros((1, isz, isz, self.output_nc), jnp.float32)
+            inst0 = jnp.zeros((1, isz, isz), jnp.int32)
+            e = jax.jit(lambda k, x, i: self.E.init(
+                k, x, i, self.max_instances))(
+                jax.random.fold_in(r[0], 1), xe, inst0)["params"]
             opt_e = self.tx.init(e)
         return P2PState(
             g=g, d=d,

@@ -7,6 +7,17 @@ LPIPS computation — unit-normalized VGG feature differences, spatially
 averaged, summed over layers — with uniform head weights, plus hooks to load
 converted head weights when provided. With the same VGG backbone on both
 sides this is a faithful relative metric for A/B comparisons.
+
+Calibration (``tools/lpips_calibrate.py`` → ``benchmarks/lpips_calibration.json``)
+ties the uniform-head units to the 1e-2 north-star budget: the computation is
+cross-checked against a line-for-line torch implementation, and a synthetic
+distortion battery records the local slope of the metric against pixel-level
+L1 so pixel-parity results bound the perceptual distance.
+
+If the released LPIPS linear heads are ever mounted, ``load_lpips_heads``
+reads the official ``lpips`` package checkpoint format and
+``lpips_distance(..., head_weights=...)`` computes true LPIPS (the official
+ScalingLayer is numerically identical to our ImageNet prep — see _MEAN note).
 """
 
 from __future__ import annotations
@@ -20,7 +31,12 @@ import numpy as np
 from cistar_tpu.models import vgg as vgg_lib
 
 _LPIPS_KEYS = ("relu1_2", "relu2_2", "relu3_3", "relu4_3", "relu5_3")
-# ImageNet normalization used by LPIPS' VGG (RGB)
+# ImageNet normalization (RGB). NOTE: this on [0,1] inputs is numerically
+# identical to the official lpips package's ScalingLayer on [-1,1] inputs —
+# its constants (shift=[-.030,-.088,-.188], scale=[.458,.448,.450]) satisfy
+# scale/2 == std and (-1-shift)/scale == -mean/std, i.e. the ScalingLayer IS
+# ImageNet normalization re-parameterized. So heads loaded via
+# :func:`load_lpips_heads` drop straight into this pipeline for true LPIPS.
 _MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _STD = np.array([0.229, 0.224, 0.225], np.float32)
 
@@ -28,6 +44,32 @@ _STD = np.array([0.229, 0.224, 0.225], np.float32)
 def _norm_feat(f: jnp.ndarray) -> jnp.ndarray:
     f = f.astype(jnp.float32)
     return f * jax.lax.rsqrt(jnp.sum(jnp.square(f), axis=-1, keepdims=True) + 1e-10)
+
+
+def load_lpips_heads(path: str,
+                     keys: Sequence[str] = _LPIPS_KEYS) -> Dict[str, jnp.ndarray]:
+    """Read the official ``lpips`` package linear-head checkpoint.
+
+    The released VGG heads (``lpips/weights/v0.1/vgg.pth``) are a state dict
+    with keys ``lin{i}.model.1.weight`` of shape (1, C_i, 1, 1) — one
+    non-negative weight per channel per layer. Returns ``{relu_key: (C,)}``
+    suitable for :func:`lpips_distance`'s ``head_weights``.
+    """
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    heads: Dict[str, jnp.ndarray] = {}
+    for i, k in enumerate(keys):
+        for cand in (f"lin{i}.model.1.weight", f"lin{i}.1.weight",
+                     f"lins.{i}.model.1.weight"):
+            if cand in sd:
+                heads[k] = jnp.asarray(
+                    np.asarray(sd[cand], np.float32).reshape(-1))
+                break
+        else:
+            raise KeyError(f"no linear-head weight for layer {i} ({k}) in "
+                           f"{path}; keys: {sorted(sd)[:6]}…")
+    return heads
 
 
 def lpips_distance(

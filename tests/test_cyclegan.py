@@ -89,6 +89,7 @@ def tiny_engine():
                     compute_dtype=jnp.float32, min_points=10.0)
 
 
+@pytest.mark.fast
 def test_train_step_runs_and_updates(tiny_engine, rng):
     eng = tiny_engine
     state = eng.init_state(jax.random.PRNGKey(0), image_size=32)

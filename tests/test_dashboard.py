@@ -7,6 +7,10 @@ import urllib.request
 from cistar_tpu.utils.dashboard import LiveDashboard, parse_history
 
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
 def _write_logs(d):
     with open(os.path.join(d, "live_log.jsonl"), "w") as f:
         for i in range(5):

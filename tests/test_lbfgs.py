@@ -9,6 +9,10 @@ import jax.numpy as jnp
 from cistar_tpu.ops.lbfgs import lbfgs_minimize
 
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
 def test_quadratic_converges():
     A = jnp.asarray(np.diag(np.linspace(1.0, 10.0, 8)).astype(np.float32))
     b = jnp.arange(8, dtype=jnp.float32)

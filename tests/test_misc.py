@@ -12,6 +12,9 @@ from cistar_tpu.core.config import ConfigNode, get_ist_cfg_defaults, parse_opt_t
 from cistar_tpu.utils.lpips import lpips_distance
 
 
+
+pytestmark = pytest.mark.fast
+
 def test_lpips_zero_for_identical(rng):
     a = jnp.asarray(rng.rand(2, 32, 32, 1).astype(np.float32))
     d = lpips_distance(a, a)

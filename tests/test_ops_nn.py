@@ -14,6 +14,9 @@ import jax.numpy as jnp
 from cistar_tpu.ops import nn as tnn
 
 
+
+pytestmark = pytest.mark.fast
+
 def _nchw(x_nhwc):
     return torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)))
 

@@ -187,6 +187,7 @@ def p2p_engine():
                      compute_dtype=jnp.float32, niter=2, niter_decay=2)
 
 
+@pytest.mark.fast
 def test_p2phd_train_step(p2p_engine, rng):
     eng = p2p_engine
     state = eng.init_state(jax.random.PRNGKey(0), image_size=64)
@@ -289,3 +290,25 @@ def test_engine_multiscale_batchnorm_generator():
     one = eng.infer_step(st.g, lab[:1], g_stats=st.g_stats)
     np.testing.assert_allclose(np.asarray(one[0]), np.asarray(out[0]),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.fast
+def test_init_spatial_size_invariance():
+    """Param init at a capped spatial size is bit-identical to full-size init
+    (all models are fully convolutional) — the contract core/initutil.py's
+    fast-init path relies on."""
+    import jax
+
+    from cistar_tpu.models.pix2pixhd import (MultiscaleDiscriminator,
+                                             UNetGeneratorHD, define_g)
+
+    for model, nc in ((define_g("global", 1, ngf=8, n_downsample_global=2,
+                                n_blocks_global=1), 1),
+                      (UNetGeneratorHD(1, 1, 8), 1),
+                      (MultiscaleDiscriminator(ndf=8, num_D=2), 2)):
+        small = model.init(jax.random.PRNGKey(3),
+                           jnp.zeros((1, 32, 32, nc)))["params"]
+        big = model.init(jax.random.PRNGKey(3),
+                         jnp.zeros((1, 128, 128, nc)))["params"]
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), small, big)
