@@ -172,31 +172,33 @@ def main(argv=None):
     for c in (0.99, 0.95):
         record("contrast", c, (base * c).astype(np.float32))
 
-    # local slope in the small-distortion regime (noise sigma <= 1e-2)
-    small = [r for r in rows
-             if r["distortion"] == "gauss_noise" and r["level"] <= 1e-2
-             and r["pixel_l1"] > 0]
-    slopes = [r["metric_uniform_head"] / r["pixel_l1"] for r in small]
-    slope = float(np.max(slopes))  # conservative: the steepest observed
-    budget_l1 = 1e-2 / slope
+    # The metric is QUADRATIC in pixel deviation (squared differences of
+    # locally-linear feature perturbations): metric ≈ c·L1². Fit c as the
+    # max over the whole battery — structured distortions (shift) give the
+    # largest c, so this is the conservative constant.
+    curv = [(r["metric_uniform_head"] / r["pixel_l1"] ** 2, r)
+            for r in rows if r["pixel_l1"] > 0]
+    c = float(np.max([v for v, _ in curv]))
+    budget_l1 = float((1e-2 / c) ** 0.5)
 
     for r in rows:
         print(f"  {r['distortion']:<14} level={r['level']:<8g} "
               f"metric={r['metric_uniform_head']:.3e}  L1={r['pixel_l1']:.3e}  "
               f"PSNR={r['psnr_db']}dB")
-    print(f"max local slope metric/L1 (σ≤1e-2): {slope:.2f}")
+    print(f"max curvature c = metric/L1² over battery: {c:.3g}")
     print(f"=> pixel L1 ≤ {budget_l1:.2e} keeps the metric under the 1e-2 "
-          "north-star budget")
+          "north-star budget (metric ≈ c·L1²)")
 
     artifact = {
         "backbone": "vgg16 seeded he-init (seed 7), converted from torch "
                     "state dict via torchvision_vgg_features_to_params",
         "implementation_parity_max_abs": parity_max_abs,
         "rows": rows,
-        "max_local_slope_metric_per_l1": slope,
+        "max_curvature_metric_per_l1_sq": c,
         "l1_budget_for_1e-2_metric": budget_l1,
-        "note": "uniform-head LPIPS computation; slope converts golden-test "
-                "pixel L1 deviations into a perceptual-distance bound",
+        "note": "uniform-head LPIPS computation; metric ≈ c·L1² converts "
+                "golden-test pixel L1 deviations into a perceptual bound "
+                "(shift distortions set the conservative c)",
     }
     with open(args.out, "w") as f:
         json.dump(artifact, f, indent=1)
