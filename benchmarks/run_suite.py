@@ -198,6 +198,8 @@ def bench_p2phd_infer(size: int = 512, batch: int = 16, iters: int = 10,
 
 CONFIGS = {
     "gatys256": lambda: bench_gatys(256, 300),
+    # the north-star config: 512² full 300-iter optimization, <5 s target
+    "gatys512": lambda: bench_gatys(512, 300),
     "gatys_hr": lambda: bench_gatys(512, 300, hr=True),
     "cyclegan256": lambda: bench_cyclegan_train(256, 4),
     "p2phd512": lambda: bench_p2phd_train(512, "global", 2),
