@@ -137,8 +137,9 @@ def global_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
     ``qblocks`` comes from ``quant_pallas.quantize_global_trunk`` over the
     same param tree.
 
-    Measured (v5e chip, 512², ngf 64, nd 4, batch 16): 275 img/s vs 223
-    bf16-XLA (1.23×); cout_tile 256 beats 128 (267) and 512 exceeds VMEM.
+    Measured (v5e chip, 512², ngf 64, nd 4, batch 16; results_r3.json): 263 img/s vs 212
+    bf16-XLA (1.24×); cout_tile auto-selected by the VMEM model
+    (quant_pallas.pick_cout_tile).
     """
     from cistar_tpu.ops.quant_pallas import (resblock_chain_int8_bf16io,
                                              resblock_chain_int8_tiled,
@@ -184,8 +185,8 @@ def unet_msrb_int8_apply(params: Dict[str, Any], qblocks, x: jnp.ndarray,
     MACs at the bottleneck — run as dual-branch int8 stage kernels
     (``quant_pallas.msrb_block_int8``). Same param tree as the linen model.
 
-    Measured (v5e chip, 512², ngf 64, batch 8): 135 img/s vs 113 bf16-XLA
-    (1.20×).
+    Measured (v5e chip, 512², ngf 64, batch 8; results_r3.json): 176 img/s vs 112 bf16-XLA
+    (1.58×).
     """
     from cistar_tpu.ops.quant_pallas import msrb_block_int8
 
