@@ -210,7 +210,55 @@ CONFIGS = {
     # evidence that the heaviest train-step program compiles and steps
     "unet512_train": lambda: bench_p2phd_train(512, "UNet", 2, iters=3,
                                                compute_dtype="float32"),
+    "p2phd1024_int8": lambda: bench_local_infer(1024),
 }
+
+
+def bench_local_infer(size: int = 1024, batch: int = 4, iters: int = 10):
+    """LocalEnhancer (coarse-to-fine 1024² generator) — bf16 XLA vs the
+    int8-global-trunk path (enhancer stream stays bf16: bandwidth-bound)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cistar_tpu.models.fast_infer import (local_enhancer_int8_apply,
+                                              quantize_local_enhancer)
+    from cistar_tpu.models.pix2pixhd import LocalEnhancer
+
+    m = LocalEnhancer(output_nc=1, ngf=32)
+    params = m.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, 64, 64, 1)))["params"]
+    q = quantize_local_enhancer(params)
+    rng = np.random.RandomState(0)
+    bx = jnp.asarray(rng.rand(batch, size, size, 1).astype(np.float32) * 2 - 1)
+
+    @jax.jit
+    def infer_bf16(p, x):
+        return m.apply({"params": p},
+                       x.astype(jnp.bfloat16)).astype(jnp.float32)
+
+    @jax.jit
+    def infer_int8(p, qb, x):
+        return local_enhancer_int8_apply(
+            p, qb, x.astype(jnp.bfloat16)).astype(jnp.float32)
+
+    def measure(f, *extra):
+        x = f(*extra, bx)
+        _sync(x)
+        x = f(*extra, x)
+        _sync(x)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            x = f(*extra, x)
+        _sync(x)
+        return batch * iters / (time.perf_counter() - t0)
+
+    bf16 = measure(infer_bf16, params)
+    ips = measure(infer_int8, params, q)
+    return {"metric": f"p2phd_local_{size}sq_int8_infer_throughput",
+            "value": round(ips, 1), "unit": "images/sec/chip",
+            "vs_baseline": round(ips / max(bf16, 1e-9), 3),
+            "bf16_img_s": round(bf16, 1)}
 
 
 def bench_unet_infer(size: int = 512, batch: int = 8, iters: int = 10):
