@@ -237,8 +237,8 @@ def local_enhancer_int8_apply(params: Dict[str, Any], qblocks, x: jnp.ndarray,
     stay bf16 XLA; the global bottleneck trunk carries most of the MACs and
     dispatches to the whole-image or cout-tiled int8 chain by VMEM fit.
 
-    Measured (v5e chip, 1024², ngf 32, batch 4): 26.9 vs 24.8 img/s bf16
-    (1.08× — the bf16 full-res enhancer stream dominates this config).
+    Measured (v5e chip, 1024², ngf 32, batch 4; results_r3_local1024.json):
+    35.7 vs 24.8 img/s bf16 (1.44×).
     """
     from cistar_tpu.ops.quant_pallas import (resblock_chain_int8_bf16io,
                                              resblock_chain_int8_tiled,
