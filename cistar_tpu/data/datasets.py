@@ -92,7 +92,8 @@ class Radar2LidarDataset:
     """
 
     def __init__(self, root: str, size: int = 512, mode: str = "train",
-                 phase_split: float = 0.7, seed: int = 0, rotate: bool = True):
+                 phase_split: float = 0.7, seed: int = 0, rotate: bool = True,
+                 cache: bool = True):
         self.radar = _list_pngs(os.path.join(root, "radar")) or sorted(
             glob.glob(os.path.join(root, "radar", "*.npy")))
         self.lidar = _list_pngs(os.path.join(root, "lidar")) or sorted(
@@ -104,11 +105,23 @@ class Radar2LidarDataset:
             self.radar, self.lidar = self.radar[split:], self.lidar[split:]
         self.size, self.mode, self.rotate = size, mode, rotate
         self.rng = np.random.RandomState(seed)
+        # Decoded-image memo: these radar sweeps are small grayscale frames
+        # (512² fp32 ≈ 1 MB each), so keeping the decoded+resized array per
+        # path turns the steady-state epoch host cost into augmentation only.
+        self._cache: Dict[str, np.ndarray] = {} if cache else None
 
     def __len__(self) -> int:
         return len(self.radar)
 
     def _load(self, path: str) -> np.ndarray:
+        if self._cache is not None:
+            hit = self._cache.get(path)
+            if hit is None:
+                hit = self._cache[path] = self._load_uncached(path)
+            return hit
+        return self._load_uncached(path)
+
+    def _load_uncached(self, path: str) -> np.ndarray:
         if path.endswith(".npy"):
             arr = np.load(path).astype(np.float32)
             if arr.ndim == 2:

@@ -86,6 +86,9 @@ def denormalize(arr: np.ndarray, mean: float = 0.5, std: float = 0.5) -> np.ndar
     return arr * std + mean
 
 
+_ROTATE_GRID_CACHE: dict = {}
+
+
 def rotate_image(arr: np.ndarray, degrees: float, bilinear: bool = False) -> np.ndarray:
     """Rotate an HWC array about its center, zero-filled corners.
 
@@ -97,7 +100,11 @@ def rotate_image(arr: np.ndarray, degrees: float, bilinear: bool = False) -> np.
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     theta = np.deg2rad(degrees)
     cos, sin = np.cos(theta), np.sin(theta)
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    grid = _ROTATE_GRID_CACHE.get((h, w))
+    if grid is None:
+        grid = np.mgrid[0:h, 0:w].astype(np.float32)
+        _ROTATE_GRID_CACHE[(h, w)] = grid
+    yy, xx = grid
     # inverse map: output (y,x) -> input coords (rotate by -theta about center)
     xs = cos * (xx - cx) + sin * (yy - cy) + cx
     ys = -sin * (xx - cx) + cos * (yy - cy) + cy
