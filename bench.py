@@ -100,6 +100,8 @@ def main(argv=None):
             int8_error = f"{type(e).__name__}: {e}"
             print(f"int8 engine failed, falling back to bf16: {int8_error}",
                   file=sys.stderr)
+            if bf16_img_s is None:  # --engine int8: fall back for real
+                bf16_img_s = measure(infer_bf16, params)
 
     candidates = {}
     if bf16_img_s is not None:
@@ -107,7 +109,9 @@ def main(argv=None):
     if int8_img_s is not None:
         candidates["int8"] = int8_img_s
     if not candidates:
-        print(json.dumps({"metric": "cyclegan_infer_throughput", "value": 0,
+        print(json.dumps({"metric": (f"cyclegan_resnet{args.blocks}"
+                                     f"_{args.size}sq_infer_throughput"),
+                          "value": 0,
                           "unit": "images/sec/chip", "vs_baseline": 0,
                           "error": int8_error}))
         return None

@@ -320,6 +320,9 @@ def main(argv=None):
 
     enable_compilation_cache()
     names = list(CONFIGS) if args.configs == "all" else args.configs.split(",")
+    unknown = [n for n in names if n not in CONFIGS]
+    if unknown:  # fail fast — a typo must not produce a green artifact
+        p.error(f"unknown config(s) {unknown}; valid: {', '.join(CONFIGS)}")
     results = []
     for name in names:
         try:

@@ -77,8 +77,14 @@ def main(argv=None):
             # BatchNorm G families (netG=multiscale) save EMA running stats
             # alongside the params; a resume that drops them would silently
             # re-warm the averages and skew post-resume eval/inference
-            state = state._replace(g_stats=ckpt.load_network(
-                pre, "G_stats", opt.which_epoch, state.g_stats))
+            stats_path = os.path.join(
+                pre, f"{opt.which_epoch}_net_G_stats.npz")
+            if os.path.exists(stats_path):
+                state = state._replace(g_stats=ckpt.load_network(
+                    pre, "G_stats", opt.which_epoch, state.g_stats))
+            else:
+                print(f"warning: {stats_path} not found; BatchNorm running "
+                      "stats re-warm from init", flush=True)
         print("loaded networks from", pre)
 
     mesh = make_mesh()
@@ -130,6 +136,9 @@ def main(argv=None):
             if total_iter % opt.save_latest_freq < opt.batchSize:
                 ckpt.save_network(save_dir, "G", "latest", state.g)
                 ckpt.save_network(save_dir, "D", "latest", state.d)
+                if state.g_stats is not None:  # keep resume-loadable mid-epoch
+                    ckpt.save_network(save_dir, "G_stats", "latest",
+                                      state.g_stats)
                 ckpt.save_iter(save_dir, epoch, total_iter)
         logger.end_epoch()
         ckpt.save_network(save_dir, "G", "latest", state.g)

@@ -108,7 +108,11 @@ class Radar2LidarDataset:
         # Decoded-image memo: these radar sweeps are small grayscale frames
         # (512² fp32 ≈ 1 MB each), so keeping the decoded+resized array per
         # path turns the steady-state epoch host cost into augmentation only.
+        # Capped so a large real dataset degrades to plain decode instead of
+        # growing host RSS without bound.
         self._cache: Dict[str, np.ndarray] = {} if cache else None
+        self._cache_bytes = 0
+        self._cache_budget = 1 << 30  # 1 GiB across both streams
 
     def __len__(self) -> int:
         return len(self.radar)
@@ -117,7 +121,10 @@ class Radar2LidarDataset:
         if self._cache is not None:
             hit = self._cache.get(path)
             if hit is None:
-                hit = self._cache[path] = self._load_uncached(path)
+                hit = self._load_uncached(path)
+                if self._cache_bytes + hit.nbytes <= self._cache_budget:
+                    self._cache[path] = hit
+                    self._cache_bytes += hit.nbytes
             return hit
         return self._load_uncached(path)
 

@@ -117,6 +117,7 @@ class Pix2PixHD:
         self.D = define_d(ndf, n_layers_d, norm, use_sigmoid=not use_lsgan,
                           num_d=num_d, get_interm_feat=use_ganfeat_loss)
         self.net_g = net_g
+        self.norm = norm
         self.n_downsample_global = n_downsample_global
         self.n_blocks_global = n_blocks_global
         self.n_local_enhancers = n_local_enhancers
@@ -399,6 +400,13 @@ class Pix2PixHD:
         from cistar_tpu.models import fast_infer as fi
         from cistar_tpu.ops.quant_pallas import quantize_global_trunk
 
+        if self.norm != "instance":
+            # The int8 forwards apply instance_norm unconditionally; running
+            # them against BatchNorm-trained params/stats would silently
+            # produce garbage, so refuse instead.
+            raise NotImplementedError(
+                f"int8 inference engines assume instance norm; this generator "
+                f"was built with norm='{self.norm}'. Run --data_type 16/32.")
         if self.net_g == "global":
             return quantize_global_trunk(g_params, self.n_blocks_global)
         if self.net_g == "local":

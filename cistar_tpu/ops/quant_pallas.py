@@ -591,12 +591,19 @@ def resblock_chain_int8_tiled(x: jnp.ndarray,
     None auto-selects by VMEM fit (:func:`pick_cout_tile`).
     """
     n, h, w, c = x.shape
-    if cout_tile is None:
-        cout_tile = pick_cout_tile(h * w, c)
-    if c % cout_tile:
-        raise ValueError(f"cout_tile {cout_tile} must divide C={c}")
     use_kernel = (interpret or _on_tpu()) and not force_emulate \
         and h >= 3 and w >= 3
+    if cout_tile is None:
+        if use_kernel:
+            cout_tile = pick_cout_tile(h * w, c)
+        else:
+            # Emulation has no VMEM constraint — any divisor works, so the
+            # auto-pick must never hard-fail here (e.g. 1024² global trunks
+            # that exceed the kernel budget still run emulated off-TPU).
+            cout_tile = next((ct for ct in (512, 256, 128, 64)
+                              if ct <= c and c % ct == 0), c)
+    if c % cout_tile:
+        raise ValueError(f"cout_tile {cout_tile} must divide C={c}")
     if not force_emulate:
         _check_kernel_path("resblock_chain_int8_tiled", use_kernel,
                            expect_kernel, "not on TPU" if not
