@@ -125,3 +125,18 @@ def test_expect_kernel_raises_on_fallback():
     q = [quantize_resblock(blk)]
     with pytest.raises(RuntimeError, match="NOT used"):
         resblock_chain_int8_bf16io(x, q, expect_kernel=True)
+
+
+def test_p2phd_int8_batchnorm_family_raises():
+    """int8 engines hardcode instance norm; a --norm batch generator must be
+    refused instead of silently normalizing with the wrong statistics.
+    (init_state already rejects BatchNorm D, so this guards direct
+    quantize_generator use with externally-built params.)"""
+    from cistar_tpu.engines.p2phd import Pix2PixHD
+
+    eng = Pix2PixHD(net_g="global", input_nc=1, output_nc=1, label_nc=0,
+                    ngf=8, n_downsample_global=2, n_blocks_global=1,
+                    norm="batch", r2l=True, image_size=32,
+                    compute_dtype=jnp.float32)
+    with pytest.raises(NotImplementedError, match="instance norm"):
+        eng.quantize_generator({})  # norm gate fires before params are read

@@ -237,3 +237,30 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
         assert enable_compilation_cache(str(tmp_path / "other")) is None
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_r2l_dataset_cache_parity_and_budget(tmp_path):
+    from PIL import Image
+
+    from cistar_tpu.data.datasets import Radar2LidarDataset
+
+    rng = np.random.RandomState(0)
+    for sub in ("radar", "lidar"):
+        os.makedirs(tmp_path / sub)
+        for i in range(4):
+            Image.fromarray(rng.randint(0, 255, (32, 32), np.uint8)).save(
+                tmp_path / sub / f"{i:03d}.png")
+    a = Radar2LidarDataset(str(tmp_path), size=32, mode="train")
+    b = Radar2LidarDataset(str(tmp_path), size=32, mode="train", cache=False)
+    for i in range(len(a)):
+        ia, ib = a[i], b[i]
+        assert np.array_equal(ia["label"], ib["label"])
+        assert np.array_equal(ia["image"], ib["image"])
+    assert a._cache and a._cache_bytes > 0
+    # a tiny budget disables insertion but never changes results
+    c = Radar2LidarDataset(str(tmp_path), size=32, mode="train")
+    c._cache_budget = 1
+    d = Radar2LidarDataset(str(tmp_path), size=32, mode="train", cache=False)
+    for i in range(len(c)):
+        assert np.array_equal(c[i]["label"], d[i]["label"])
+    assert not c._cache

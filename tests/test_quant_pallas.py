@@ -280,3 +280,28 @@ def test_local_enhancer_int8_apply():
                                     cout_tile=8)
     assert y_q.shape == y_ref.shape
     assert float(jnp.max(jnp.abs(y_q - y_ref))) < 0.3
+
+
+def test_pick_cout_tile_raises_over_budget():
+    from cistar_tpu.ops.quant_pallas import pick_cout_tile
+
+    with pytest.raises(ValueError, match="cout tile"):
+        pick_cout_tile(64 * 64, 1024)  # 1024-sq global trunk: no tile fits
+
+
+def test_tiled_chain_emulation_ignores_vmem_budget(monkeypatch):
+    """Off-TPU the auto cout-tile pick must not consult the VMEM budget —
+    shapes that exceed the kernel budget still run emulated."""
+    from cistar_tpu.ops import quant_pallas as qp
+
+    def boom(*a, **k):
+        raise AssertionError("pick_cout_tile consulted on emulation path")
+
+    monkeypatch.setattr(qp, "pick_cout_tile", boom)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.rand(1, 8, 8, 8).astype(np.float32))
+    blk = {"conv1": {"w": jnp.asarray(rng.randn(3, 3, 8, 8), jnp.float32)},
+           "conv2": {"w": jnp.asarray(rng.randn(3, 3, 8, 8), jnp.float32)}}
+    q = [qp.quantize_resblock(blk)]
+    out = qp.resblock_chain_int8_tiled(x, q)  # C=8: falls back to ct=C
+    assert out.shape == x.shape
