@@ -39,7 +39,8 @@ class CycleGANImageDataset:
     """Unpaired radar/lidar dataset with the reference's exact split policy."""
 
     def __init__(self, root: str, size: Optional[int] = None, unaligned: bool = False,
-                 mode: str = "train", grayscale: bool = True, seed: int = 0):
+                 mode: str = "train", grayscale: bool = True, seed: int = 0,
+                 cache: bool = True):
         self.files_a = _list_pngs(os.path.join(root, "radar"))
         self.files_b = _list_pngs(os.path.join(root, "lidar"))
         split = int(len(self.files_a) * 0.5)
@@ -55,11 +56,27 @@ class CycleGANImageDataset:
         self.size = size
         self.grayscale = grayscale
         self.rng = np.random.RandomState(seed)
+        # Decoded-image memo (see Radar2LidarDataset): downstream rotate/
+        # normalize always allocate fresh arrays, so sharing is safe.
+        self._cache: Dict[str, np.ndarray] = {} if cache else None
+        self._cache_bytes = 0
+        self._cache_budget = 1 << 30  # 1 GiB across both streams
 
     def __len__(self) -> int:
         return max(len(self.files_a), len(self.files_b))
 
     def _load(self, path: str) -> np.ndarray:
+        if self._cache is not None:
+            hit = self._cache.get(path)
+            if hit is None:
+                hit = self._load_uncached(path)
+                if self._cache_bytes + hit.nbytes <= self._cache_budget:
+                    self._cache[path] = hit
+                    self._cache_bytes += hit.nbytes
+            return hit
+        return self._load_uncached(path)
+
+    def _load_uncached(self, path: str) -> np.ndarray:
         img = T.load_image(path, mode="L" if self.grayscale else "RGB")
         if self.size is not None and img.size != (self.size, self.size):
             img = img.resize((self.size, self.size))
