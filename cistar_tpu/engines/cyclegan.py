@@ -36,7 +36,11 @@ def lambda_lr_factor(epoch: jnp.ndarray, n_epochs: int, start_epoch: int,
     if n_epochs <= decay_epoch:
         return jnp.asarray(1.0, jnp.float32)  # no decay phase (avoid 0/0)
     e = epoch.astype(jnp.float32)
-    return 1.0 - jnp.maximum(0.0, e + start_epoch - decay_epoch) / (n_epochs - decay_epoch)
+    # floor at 0 so stepping past n_epochs can never flip the lr negative
+    return jnp.maximum(
+        0.0,
+        1.0 - jnp.maximum(0.0, e + start_epoch - decay_epoch)
+        / (n_epochs - decay_epoch))
 
 
 class CycleGANState(NamedTuple):

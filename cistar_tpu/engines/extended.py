@@ -225,6 +225,9 @@ class R2LTransfer:
                                   jnp.ones((1,), jnp.float32))
             pred_real = dimg_apply(frozen["net_dl"],
                                    jnp.concatenate([lidar, lidar], -1))
+            # loss_feat is a LOG-ONLY metric: the reference's exercised
+            # branch optimizes loss_G_GAN_lidar + loss_G_WGAN only, with the
+            # feat-matching variant commented out (pix2pixHD_model.py:806-811)
             loss_feat = jnp.float32(0)
             for i in range(self.num_d):
                 for j in range(len(pred_fake[i]) - 1):
@@ -345,7 +348,15 @@ class R2LAE:
             target_real = jnp.concatenate([ones, zeros], axis=0)
             target_flip = jnp.concatenate([zeros, ones], axis=0)
             # BCE on sigmoid outputs (DomainFeatureDiscriminator ends in
-            # sigmoid); clip for numerical safety.
+            # sigmoid); clip for numerical safety. Deliberate deviation: with
+            # wgan=True the reference feeds wDiscriminator(activate=False)
+            # raw scores into torch BCELoss, which *raises* outside [0,1]
+            # (udaModel.py:419,452 + its dead wganGP_loss) — the clip lets
+            # that config run instead of crashing. Both loss terms are summed
+            # with no detach between encoder and classifier, again matching
+            # the reference's accumulated-gradient semantics (the
+            # complementary-target pair drives p toward ½ for both nets —
+            # the reference's own behavior, kept for parity).
             p = jnp.clip(pred_f, 1e-6, 1 - 1e-6)
             loss_d_encoder = -jnp.mean(target_real * jnp.log(p)
                                        + (1 - target_real) * jnp.log(1 - p))
@@ -368,19 +379,25 @@ class R2LAE:
                 outs = self.DImg.apply({"params": p_}, x_.astype(cdt))
                 return jax.tree.map(lambda a: a.astype(jnp.float32), outs)
 
+            # No detach anywhere, matching the reference exactly: R2LAE does
+            # ONE zero_grad, six backward(retain_graph=True) passes whose
+            # gradients ACCUMULATE in shared buffers, then steps all six
+            # optimizers (udaModel.py:528-552) — i.e. its effective objective
+            # is this joint sum with full gradient flow. For LSGAN that means
+            # each image D sees (p-1)² [G term] + p² [D-fake term] on the
+            # same prediction (net fake-target ½) — a reference quirk kept
+            # for parity, not a bug in this port.
             pred_fake_lidar = dimg(dl, lidar_gen)
             pred_real_lidar = dimg(dl, lidar)
             loss_g_gan_lidar = gan_loss(pred_fake_lidar, True)
             loss_d_lidar = (gan_loss(pred_real_lidar, True)
-                            + gan_loss(jax.tree.map(jax.lax.stop_gradient,
-                                                    pred_fake_lidar), False))
+                            + gan_loss(pred_fake_lidar, False))
 
             pred_fake_radar = dimg(dr, radar_gen)
             pred_real_radar = dimg(dr, radar)
             loss_g_gan_radar = gan_loss(pred_fake_radar, True)
             loss_d_radar = (gan_loss(pred_real_radar, True)
-                            + gan_loss(jax.tree.map(jax.lax.stop_gradient,
-                                                    pred_fake_radar), False))
+                            + gan_loss(pred_fake_radar, False))
 
             loss_gan_lidar = mse_lidar + loss_g_gan_lidar
             loss_gan_radar = mse_radar + loss_g_gan_radar

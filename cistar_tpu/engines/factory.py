@@ -43,7 +43,8 @@ def create_model(opt):
                 no_instance=opt.no_instance, r2l=getattr(opt, "r2l", False),
                 use_lsgan=not opt.no_lsgan, lambda_feat=opt.lambda_feat,
                 use_ganfeat_loss=not opt.no_ganFeat_loss,
-                vgg_criterion=None if opt.no_vgg_loss else make_vgg_loss(),
+                vgg_criterion=(None if getattr(opt, "no_vgg_loss", True)
+                               else make_vgg_loss()),
                 lr=opt.lr, beta1=getattr(opt, "beta1", 0.5),
                 niter=getattr(opt, "niter", 50),
                 niter_decay=getattr(opt, "niter_decay", 50),

@@ -63,9 +63,20 @@ def parse_history(exp_dir: str) -> Dict[str, object]:
     }
 
 
+_IMG_CACHE: Dict[str, Tuple[float, List[str]]] = {}
+
+
 def _list_images(exp_dir: str, limit: int = 12) -> List[str]:
     """Newest PNGs under the experiment dir (incl. ``web/images``),
-    exp_dir-relative paths."""
+    exp_dir-relative paths. The recursive walk + per-file stat is cached for
+    a few seconds so the 3 s poll of every open dashboard tab doesn't turn
+    into a continuous stat storm on checkpoint-heavy experiment dirs."""
+    import time as _time
+
+    now = _time.time()
+    hit = _IMG_CACHE.get(exp_dir)
+    if hit is not None and now - hit[0] < 2.5:
+        return hit[1]
     found: List[Tuple[float, str]] = []
     for base, _dirs, files in os.walk(exp_dir):
         for fn in files:
@@ -74,7 +85,9 @@ def _list_images(exp_dir: str, limit: int = 12) -> List[str]:
                 found.append((os.path.getmtime(p),
                               os.path.relpath(p, exp_dir)))
     found.sort(reverse=True)
-    return [rel for _t, rel in found[:limit]]
+    out = [rel for _t, rel in found[:limit]]
+    _IMG_CACHE[exp_dir] = (now, out)
+    return out
 
 
 def _sanitize(obj):

@@ -80,7 +80,17 @@ def lpips_distance(
     keys: Sequence[str] = _LPIPS_KEYS,
 ) -> jnp.ndarray:
     """Perceptual distance between two NHWC images in [0, 1]. Returns (N,)."""
-    params = vgg16_params or vgg_lib.init_vgg_params(vgg_lib.VGG16_CONVS, seed=7)
+    if not vgg16_params:
+        import warnings
+
+        warnings.warn(
+            "lpips_distance: no VGG16 weights supplied — falling back to the "
+            "seeded random backbone; distances are relative A/B indicators "
+            "only, not comparable to published LPIPS values",
+            RuntimeWarning, stacklevel=2)
+        params = vgg_lib.init_vgg_params(vgg_lib.VGG16_CONVS, seed=7)
+    else:
+        params = vgg16_params
 
     def prep(x):
         x = x.astype(jnp.float32)

@@ -132,12 +132,33 @@ class MetricsLogger:
         self.history.append(record)
         with open(self._jsonl_path, "a") as f:
             f.write(json.dumps(record) + "\n")
-        write_header = not os.path.exists(self._csv_path)
+        keys = sorted(means.keys())
+        header = "epoch," + ",".join(keys)
+        if os.path.exists(self._csv_path):
+            with open(self._csv_path) as f:
+                lines = f.read().splitlines()
+            if lines and lines[0] != header:
+                # metric key set changed (new phase / resumed run): rewrite
+                # with the union header so columns never silently misalign
+                old_keys = lines[0].split(",")[1:]
+                union = sorted(set(old_keys) | set(keys))
+                rows = []
+                for ln in lines[1:]:
+                    vals = dict(zip(old_keys, ln.split(",")[1:]))
+                    rows.append(ln.split(",")[0] + ","
+                                + ",".join(vals.get(k, "") for k in union))
+                keys, header = union, "epoch," + ",".join(union)
+                with open(self._csv_path, "w") as f:
+                    f.write(header + "\n")
+                    for r in rows:
+                        f.write(r + "\n")
+        else:
+            with open(self._csv_path, "w") as f:
+                f.write(header + "\n")
         with open(self._csv_path, "a") as f:
-            keys = sorted(means.keys())
-            if write_header:
-                f.write("epoch," + ",".join(keys) + "\n")
-            f.write(f"{self.epoch}," + ",".join(f"{means[k]:.6f}" for k in keys) + "\n")
+            f.write(f"{self.epoch},"
+                    + ",".join(f"{means[k]:.6f}" if k in means else ""
+                               for k in keys) + "\n")
         np.save(os.path.join(self.out_dir, "loss_log.npy"),
                 np.asarray([[r.get(k, np.nan) for k in sorted(means.keys())]
                             for r in self.history]))

@@ -264,3 +264,18 @@ def test_r2l_dataset_cache_parity_and_budget(tmp_path):
     for i in range(len(c)):
         assert np.array_equal(c[i]["label"], d[i]["label"])
     assert not c._cache
+
+
+def test_metrics_csv_header_union_on_key_change(tmp_path):
+    from cistar_tpu.utils.metrics import MetricsLogger
+
+    m = MetricsLogger(str(tmp_path), n_epochs=3, batches_per_epoch=1,
+                      log_every=1000)
+    m.log({"loss_a": 1.0}, n_images=1)
+    m.end_epoch()
+    m.log({"loss_a": 2.0, "loss_b": 3.0}, n_images=1)  # new key appears
+    m.end_epoch()
+    lines = (tmp_path / "loss_log.csv").read_text().splitlines()
+    assert lines[0] == "epoch,loss_a,loss_b"
+    assert lines[1].startswith("0,1.000000,")   # padded old row
+    assert lines[2] == "1,2.000000,3.000000"
