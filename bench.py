@@ -123,11 +123,13 @@ def main(argv=None):
               f"slower than plain bf16 ({bf16_img_s:.1f} img/s) — the int8 "
               "kernels should always win at this shape", file=sys.stderr)
 
-    suffix = "_int8" if best == "int8" else ""
+    # The metric name is stable regardless of which engine wins — tooling
+    # that keys runs against BASELINE.json must not see a discontinuity when
+    # the winner flips; the winning engine is in the "engine" field.
     per_chip_target = 10000.0 / 8.0  # v5e-8 north star, per chip
     result = {
         "metric": (f"cyclegan_resnet{args.blocks}_{args.size}sq"
-                   f"{suffix}_infer_throughput"),
+                   f"_infer_throughput"),
         "value": round(images_per_sec, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / per_chip_target, 3),

@@ -83,23 +83,29 @@ def main(argv=None):
     loader = Loader(dataset, args.batchSize)
     watchdog = CompileWatchdog("inference step",
                                timeout=args.compile_timeout).start()
-    for i, batch in enumerate(loader):
-        a = jnp.asarray(batch["A"])
-        b = jnp.asarray(batch["B"])
-        fake_b, fake_a, rec_b = infer(a, b)
-        if i == 0:
-            jax.block_until_ready(rec_b)
-            watchdog.done()
-        for j in range(a.shape[0]):
-            name = batch["name"][j]
-            arr = np.clip(denormalize(np.asarray(rec_b[j])), 0, 1)
-            array_to_pil(arr).save(os.path.join(save_dir, name))
-            save_image_grid(
-                {"fake_lidar": np.asarray(fake_b[j]), "real_radar": batch["A"][j],
-                 "real_lidar": batch["B"][j], "fake_radar": np.asarray(fake_a[j]),
-                 "recover_lidar": np.asarray(rec_b[j])},
-                os.path.join(save_dir, "panel_" + name))
-        sys.stdout.write(f"\rGenerated images {i + 1:05d} of {len(loader):05d}")
+    try:
+        for i, batch in enumerate(loader):
+            a = jnp.asarray(batch["A"])
+            b = jnp.asarray(batch["B"])
+            fake_b, fake_a, rec_b = infer(a, b)
+            if i == 0:
+                jax.block_until_ready(rec_b)
+                watchdog.done()
+            for j in range(a.shape[0]):
+                name = batch["name"][j]
+                arr = np.clip(denormalize(np.asarray(rec_b[j])), 0, 1)
+                array_to_pil(arr).save(os.path.join(save_dir, name))
+                save_image_grid(
+                    {"fake_lidar": np.asarray(fake_b[j]), "real_radar": batch["A"][j],
+                     "real_lidar": batch["B"][j], "fake_radar": np.asarray(fake_a[j]),
+                     "recover_lidar": np.asarray(rec_b[j])},
+                    os.path.join(save_dir, "panel_" + name))
+            sys.stdout.write(f"\rGenerated images {i + 1:05d} of {len(loader):05d}")
+    finally:
+        # An empty test split (or a loader failure) must not leave the
+        # watchdog's daemon thread armed — it would os._exit(3) with a
+        # misleading "still compiling" message and skip output flushes.
+        watchdog.done()
     sys.stdout.write("\n")
 
 

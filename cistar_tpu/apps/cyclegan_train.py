@@ -99,22 +99,26 @@ def main(argv=None):
     watchdog = CompileWatchdog("CycleGAN train step",
                                timeout=args.compile_timeout).start()
     first_step = True
-    for epoch in range(args.epoch, args.n_epochs):
-        for batch in loader:
-            arrs = {"A": batch["A"], "B": batch["B"]}
-            arrs, _ = pad_batch_to_multiple(arrs, n_dev)
-            dev_batch = shard_batch(arrs, mesh)
-            state, metrics = engine.train_step(state, dev_batch["A"], dev_batch["B"])
-            if first_step:
-                jax.device_get(metrics)  # make the watchdog window honest
-                watchdog.done()
-                first_step = False
-            logger.log({k: v for k, v in metrics.items()},
-                       n_images=arrs["A"].shape[0])
-        logger.end_epoch()
-        state = engine.next_epoch(state)
-        ckpt.save_cyclegan_state(output_dir, state, epoch=epoch)
-        print(f"saved checkpoints for epoch {epoch}")
+    try:
+        for epoch in range(args.epoch, args.n_epochs):
+            for batch in loader:
+                arrs = {"A": batch["A"], "B": batch["B"]}
+                arrs, _ = pad_batch_to_multiple(arrs, n_dev)
+                dev_batch = shard_batch(arrs, mesh)
+                state, metrics = engine.train_step(state, dev_batch["A"],
+                                                   dev_batch["B"])
+                if first_step:
+                    jax.device_get(metrics)  # make the watchdog window honest
+                    watchdog.done()
+                    first_step = False
+                logger.log({k: v for k, v in metrics.items()},
+                           n_images=arrs["A"].shape[0])
+            logger.end_epoch()
+            state = engine.next_epoch(state)
+            ckpt.save_cyclegan_state(output_dir, state, epoch=epoch)
+            print(f"saved checkpoints for epoch {epoch}")
+    finally:
+        watchdog.done()  # empty dataset / loader failure must disarm the timer
 
 
 if __name__ == "__main__":

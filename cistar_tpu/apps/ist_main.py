@@ -36,6 +36,10 @@ def main(argv=None):
                    help="force a JAX platform (the baked sitecustomize pins the TPU)")
     p.add_argument("--max-iters", type=int, default=0, help="override LOSS.MAX_ITER")
     p.add_argument("--limit", type=int, default=0, help="process at most N frames")
+    p.add_argument("--frames_per_batch", type=int, default=1,
+                   help="vmap N frames into ONE compiled L-BFGS program "
+                        "(aggregate frames/sec; the reference sweeps one "
+                        "frame at a time, IST/main.py:186-238)")
     p.add_argument("opts", nargs="*", default=[], help="KEY VALUE config overrides")
     args = p.parse_args(argv)
     if args.platform:
@@ -92,25 +96,40 @@ def main(argv=None):
 
     from cistar_tpu.core.compile_guard import CompileWatchdog
 
+    fpb = max(1, args.frames_per_batch)
+    style_in = pil_polar_transform(style_img) if args.polar else style_img
     sweep_start = time.time()
     watchdog = CompileWatchdog("L-BFGS transfer program").start()
-    for i, path in enumerate(content_list):
-        t0 = time.time()
-        content_img = load_image(path, "RGB")
-        style_in = style_img
-        if args.polar:
-            content_img = pil_polar_transform(content_img)
-            style_in = pil_polar_transform(style_img)
-        out = engine.transfer_style(content_img, style_in, max_iters=max_iters)
-        watchdog.done()  # transfer_style returns a fetched PIL image
-        if args.hr:
-            out = engine.hr_transfer_style(content_img, style_in, out)
-        if args.polar:
-            out = pil_polar_transform(out, reverse=True)
-        name = os.path.basename(path)
-        out.save(os.path.join(args.save_dir, name))
-        logger.info("frame %d/%d (%s): %.3f s", i + 1, len(content_list),
-                    name, time.time() - t0)
+    try:
+        for start in range(0, len(content_list), fpb):
+            paths = content_list[start:start + fpb]
+            t0 = time.time()
+            content_imgs = []
+            for path in paths:
+                img = load_image(path, "RGB")
+                if args.polar:
+                    img = pil_polar_transform(img)
+                content_imgs.append(img)
+            if fpb == 1:
+                outs = [engine.transfer_style(content_imgs[0], style_in,
+                                              max_iters=max_iters)]
+            else:
+                outs = engine.transfer_style_batch(content_imgs, style_in,
+                                                   max_iters=max_iters)
+            watchdog.done()  # both drivers return fetched PIL images
+            for path, content_img, out in zip(paths, content_imgs, outs):
+                if args.hr:
+                    out = engine.hr_transfer_style(content_img, style_in, out)
+                if args.polar:
+                    out = pil_polar_transform(out, reverse=True)
+                name = os.path.basename(path)
+                out.save(os.path.join(args.save_dir, name))
+            dt = time.time() - t0
+            logger.info("frames %d-%d/%d: %.3f s (%.3f s/frame)",
+                        start + 1, start + len(paths), len(content_list),
+                        dt, dt / max(1, len(paths)))
+    finally:
+        watchdog.done()  # empty directory must not leave the timer armed
     n = max(1, len(content_list))
     logger.info("avg seconds per frame: %.3f", (time.time() - sweep_start) / n)
 

@@ -118,9 +118,24 @@ def main(argv=None):
     from cistar_tpu.core.compile_guard import CompileWatchdog
 
     loader = Loader(dataset, 1)
-    warned_engine_bypass = False
     watchdog = CompileWatchdog("inference step",
                                timeout=opt.compile_timeout).start()
+    try:
+        _p2phd_test_loop(opt, loader, watchdog, infer, qblocks, engine,
+                         g_params, g_stats, gallery)
+    finally:
+        watchdog.done()  # empty split / loader failure must disarm the timer
+    gallery.save()
+
+
+def _p2phd_test_loop(opt, loader, watchdog, infer, qblocks, engine,
+                     g_params, g_stats, gallery):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cistar_tpu.data.transforms import array_to_pil, denormalize
+
+    warned_engine_bypass = False
     for i, batch in enumerate(loader):
         if i >= opt.how_many:
             break
@@ -169,7 +184,6 @@ def main(argv=None):
         gallery.add_header(f"process image... {name}")
         gallery.add_images(ims, txts, links, width=opt.display_winsize)
         print(f"process image... {batch['path'][0]}")
-    gallery.save()
 
 
 if __name__ == "__main__":

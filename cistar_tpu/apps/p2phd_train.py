@@ -109,6 +109,10 @@ def main(argv=None):
     watchdog = CompileWatchdog("p2pHD train step",
                                timeout=opt.compile_timeout).start()
     total_iter = (start_epoch - 1) * len(dataset) + epoch_iter
+    if len(dataset) == 0:
+        # nothing will ever reach the first-step done(); disarm so the
+        # checkpoint-saving epoch loop below can't trip a bogus timeout
+        watchdog.done()
     for epoch in range(start_epoch, opt.niter + opt.niter_decay + 1):
         # derive the new epoch scalar FROM the existing leaf so its
         # placement/sharding/dtype are inherited — a fresh host scalar in an

@@ -140,6 +140,34 @@ class GatysEngine:
         out, loss, _ = self.optimize(content, style, max_iters=max_iters)
         return self.transform.post_preparation(np.asarray(out))
 
+    def transfer_style_batch(self, content_imgs, style_img,
+                             max_iters: Optional[int] = None):
+        """F PIL frames → F stylized PILs through ONE vmapped program.
+
+        The directory sweep is the reference's actual use case
+        (``IST/main.py:186-238``, one frame at a time); this batches the
+        independent L-BFGS runs via :meth:`optimize_batch` so the VGG
+        forward/backward work fills the MXU. Frames are grouped by
+        preprocessed shape (one executable per shape); results are
+        mathematically identical to per-frame :meth:`transfer_style` calls.
+        """
+        style = self.transform.preparation(style_img)
+        preps = [self.transform.preparation(im) for im in content_imgs]
+        outs: List = [None] * len(preps)
+        groups = {}
+        for idx, c in enumerate(preps):
+            groups.setdefault(c.shape, []).append(idx)
+        for shape, idxs in groups.items():
+            contents = jnp.stack([jnp.asarray(preps[i]) for i in idxs])
+            styles = jnp.broadcast_to(jnp.asarray(style),
+                                      (len(idxs),) + style.shape)
+            imgs, _, _ = self.optimize_batch(contents, styles,
+                                             max_iters=max_iters)
+            imgs = np.asarray(imgs)
+            for j, i in enumerate(idxs):
+                outs[i] = self.transform.post_preparation(imgs[j])
+        return outs
+
     def hr_transfer_style(self, content_img, style_img, lr_result_img,
                           max_iters: Optional[int] = None):
         """Coarse-to-fine pass (parity with ``do_hr_transfer_style``).

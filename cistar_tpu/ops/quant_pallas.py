@@ -29,6 +29,7 @@ measured end-to-end at the LPIPS-style fidelity recorded in STATUS.md.
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -595,7 +596,21 @@ def resblock_chain_int8_tiled(x: jnp.ndarray,
         and h >= 3 and w >= 3
     if cout_tile is None:
         if use_kernel:
-            cout_tile = pick_cout_tile(h * w, c)
+            try:
+                cout_tile = pick_cout_tile(h * w, c)
+            except ValueError as e:
+                # A shape whose (estimated) VMEM model admits no tile must
+                # not hard-fail inside a jitted forward that merely routed
+                # through the auto-pick — run the XLA emulation instead,
+                # reserving the hard raise for explicit bench paths.
+                if expect_kernel:
+                    raise
+                warnings.warn(
+                    f"resblock_chain_int8_tiled: {e}; falling back to the "
+                    "XLA emulation path", stacklevel=2)
+                use_kernel = False
+                cout_tile = next((ct for ct in (512, 256, 128, 64)
+                                  if ct <= c and c % ct == 0), c)
         else:
             # Emulation has no VMEM constraint — any divisor works, so the
             # auto-pick must never hard-fail here (e.g. 1024² global trunks

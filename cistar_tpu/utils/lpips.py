@@ -57,7 +57,12 @@ def load_lpips_heads(path: str,
     """
     import torch
 
-    sd = torch.load(path, map_location="cpu")
+    try:
+        # weights_only: never execute pickle code from an externally
+        # obtained heads file (torch >= 1.13; default only from 2.6)
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except TypeError:  # ancient torch without the kwarg
+        sd = torch.load(path, map_location="cpu")
     heads: Dict[str, jnp.ndarray] = {}
     for i, k in enumerate(keys):
         for cand in (f"lin{i}.model.1.weight", f"lin{i}.1.weight",

@@ -79,10 +79,11 @@ def test_ist_main_cli(dataroot, tmp_path):
     ist_main([
         "--content-dir", os.path.join(dataroot, "radar"),
         "--style-image", style, "--save-dir", save,
-        "--max-iters", "3", "--limit", "1", "--dtype", "fp32",
+        "--max-iters", "3", "--limit", "2", "--dtype", "fp32",
+        "--frames_per_batch", "2",
         "DATA.IMG_SIZE", "32",
     ])
-    assert glob.glob(os.path.join(save, "*.png"))
+    assert len(glob.glob(os.path.join(save, "*.png"))) == 2
 
 
 def test_convert_checkpoint_cli(tmp_path):

@@ -176,3 +176,26 @@ def test_batched_gatys_matches_sequential(rng):
         assert abs(float(losses_b[f]) - float(loss_s)) <= 0.002 * float(loss_s)
         np.testing.assert_allclose(np.asarray(outs_b[f]), np.asarray(out_s),
                                    atol=5.0)  # few px drift (chaotic iteration)
+
+
+def test_transfer_style_batch_matches_single(rng):
+    """The PIL-level batched driver == per-frame transfer_style, including
+    the shape-grouping path (one frame with a different size)."""
+    from PIL import Image
+
+    cfg = get_ist_cfg_defaults()
+    cfg.DATA.IMG_SIZE = 24
+    params = vgg_lib.init_vgg_params(seed=0)
+    eng = GatysEngine(cfg, params, compute_dtype=jnp.float32, history_size=5)
+    frames = [Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8))
+              for _ in range(2)]
+    # third frame: different aspect ratio -> different preprocessed shape,
+    # must route through its own (single-frame) group
+    frames.append(Image.fromarray((rng.rand(32, 48, 3) * 255)
+                                  .astype(np.uint8)))
+    style = Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8))
+    outs_b = eng.transfer_style_batch(frames, style, max_iters=2)
+    for frame, out_b in zip(frames, outs_b):
+        out_s = eng.transfer_style(frame, style, max_iters=2)
+        np.testing.assert_allclose(np.asarray(out_b, np.float32),
+                                   np.asarray(out_s, np.float32), atol=1.0)
