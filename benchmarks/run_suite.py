@@ -32,6 +32,55 @@ def _sync(x):
     return float(jnp.sum(jax.tree.leaves(x)[0]))
 
 
+# Public v5e per-chip peaks: 197 TFLOP/s bf16 matmul, 394 TOP/s int8.
+# fp32 rows are measured against the bf16 peak (v5e has no separate fp32
+# matmul unit — fp32 convs run as multi-pass bf16, so MFU reads low there
+# by construction; the note field says so).
+V5E_PEAK = {"bf16": 197e12, "fp32": 197e12, "int8": 394e12}
+
+
+def _flops_of(jitted, *args) -> float:
+    """FLOPs of one call from XLA's cost model. The compile behind
+    ``.lower().compile()`` is served by the persistent compilation cache
+    when the measurement loop already built the same program."""
+    try:
+        compiled = jitted.lower(*args).compile()
+        costs = compiled.cost_analysis()
+        if isinstance(costs, list):
+            costs = costs[0] if costs else {}
+        return float((costs or {}).get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def _mfu_fields(flops_per_call: float, items_per_call: float,
+                sec_per_call: float, engine: str = "bf16",
+                note: str = ""):
+    """Machine-checked efficiency stamp for a suite row: algorithmic FLOPs,
+    achieved TFLOP/s, and MFU against the v5e per-chip peak (VERDICT r3 #5:
+    every row must prove its efficiency, not leave it to hand estimates)."""
+    out = {}
+    if note:
+        out["mfu_note"] = note
+    if flops_per_call <= 0 or sec_per_call <= 0:
+        out.setdefault("mfu_note", "XLA cost model returned no flops")
+        return out
+    achieved = flops_per_call / sec_per_call
+    out.update({
+        "flops_per_item": flops_per_call / max(items_per_call, 1e-9),
+        "achieved_tflops": round(achieved / 1e12, 2),
+        "mfu": round(achieved / V5E_PEAK[engine], 4),
+        "mfu_peak": f"{engine}:{V5E_PEAK[engine] / 1e12:.0f}e12",
+    })
+    return out
+
+
+def _no_baseline(reason: str):
+    """The reference publishes no number for this config (BASELINE.md) —
+    an explicit null + reason instead of a misleading 0.0/target ratio."""
+    return {"vs_baseline": None, "baseline_note": reason}
+
+
 def bench_gatys(size: int, iters: int, hr: bool = False):
     import jax.numpy as jnp
     import numpy as np
@@ -53,26 +102,84 @@ def bench_gatys(size: int, iters: int, hr: bool = False):
     out, _, _ = eng.optimize(content, style, max_iters=iters)
     _sync(out)
     dt = time.perf_counter() - t0
+    # XLA's cost model counts a lax.scan/while body ONCE; the L-BFGS loop
+    # runs `iters` trips, so scale to get true per-run FLOPs.
+    flops = iters * _flops_of(eng._compiled[(content.shape, iters)],
+                              eng.vgg_params, content, style, content)
     if hr:
         hr_size = size * 2
         up = jnp.asarray(np.repeat(np.repeat(np.asarray(out), 2, 1), 2, 2))
-        hr_out, _, _ = eng.optimize(
-            jnp.asarray(rng.rand(1, hr_size, hr_size, 3).astype(np.float32) * 255 - 120),
-            jnp.asarray(rng.rand(1, hr_size, hr_size, 3).astype(np.float32) * 255 - 120),
-            init_image=up, max_iters=500)
+        hr_c = jnp.asarray(rng.rand(1, hr_size, hr_size, 3)
+                           .astype(np.float32) * 255 - 120)
+        hr_s = jnp.asarray(rng.rand(1, hr_size, hr_size, 3)
+                           .astype(np.float32) * 255 - 120)
+        hr_out, _, _ = eng.optimize(hr_c, hr_s, init_image=up, max_iters=500)
         _sync(hr_out)
         t0 = time.perf_counter()
-        hr_out, _, _ = eng.optimize(
-            jnp.asarray(rng.rand(1, hr_size, hr_size, 3).astype(np.float32) * 255 - 120),
-            jnp.asarray(rng.rand(1, hr_size, hr_size, 3).astype(np.float32) * 255 - 120),
-            init_image=up, max_iters=500)
+        hr_out, _, _ = eng.optimize(hr_c, hr_s, init_image=up, max_iters=500)
         _sync(hr_out)
-        dt += time.perf_counter() - t0
+        dt_hr = time.perf_counter() - t0
+        flops += 500 * _flops_of(eng._compiled[(hr_c.shape, 500)],
+                                 eng.vgg_params, hr_c, hr_s, up)
         return {"metric": f"gatys_{size}to{hr_size}_coarse2fine_seconds",
-                "value": round(dt, 3), "unit": "s",
-                "vs_baseline": round(5.0 / max(dt, 1e-9), 3)}
-    return {"metric": f"gatys_{size}sq_{iters}iter_seconds", "value": round(dt, 3),
-            "unit": "s", "vs_baseline": round(5.0 / max(dt, 1e-9), 3)}
+                "value": round(dt + dt_hr, 3), "unit": "s",
+                "lr_pass_s": round(dt, 3), "hr_pass_s": round(dt_hr, 3),
+                **_no_baseline("the <5 s target is the 512-sq single-pass "
+                               "config; no published coarse-to-fine number"),
+                **_mfu_fields(flops, 1, dt + dt_hr)}
+    row = {"metric": f"gatys_{size}sq_{iters}iter_seconds",
+           "value": round(dt, 3), "unit": "s",
+           **_mfu_fields(flops, 1, dt)}
+    if size == 512 and iters == 300:  # the BASELINE.json <5 s target config
+        row["vs_baseline"] = round(5.0 / max(dt, 1e-9), 3)
+    else:
+        row.update(_no_baseline("the <5 s target is the 512-sq 300-iter "
+                                "config only"))
+    return row
+
+
+def bench_gatys_batch(size: int = 512, frames: int = 4, iters: int = 300):
+    """Batched directory sweep (``ist_main --frames_per_batch``): F
+    independent L-BFGS runs vmapped into ONE program vs the per-frame
+    sweep the reference performs (``IST/main.py:186-238``)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cistar_tpu.core.config import get_ist_cfg_defaults
+    from cistar_tpu.engines.ist import GatysEngine
+    from cistar_tpu.models import vgg as vgg_lib
+
+    cfg = get_ist_cfg_defaults()
+    cfg.DATA.IMG_SIZE = size
+    rng = np.random.RandomState(0)
+    eng = GatysEngine(cfg, vgg_lib.init_vgg_params(seed=0),
+                      compute_dtype=jnp.bfloat16)
+    contents = jnp.asarray(
+        rng.rand(frames, 1, size, size, 3).astype(np.float32) * 255 - 120)
+    styles = jnp.broadcast_to(contents[:1] * 0.5, contents.shape)
+    # single-frame reference point (one compiled program, warm)
+    out, _, _ = eng.optimize(contents[0], styles[0], max_iters=iters)
+    _sync(out)
+    t0 = time.perf_counter()
+    out, _, _ = eng.optimize(contents[0], styles[0], max_iters=iters)
+    _sync(out)
+    single_s = time.perf_counter() - t0
+    # batched program
+    outs, _, _ = eng.optimize_batch(contents, styles, max_iters=iters)
+    _sync(outs)
+    t0 = time.perf_counter()
+    outs, _, _ = eng.optimize_batch(contents, styles, max_iters=iters)
+    _sync(outs)
+    dt = time.perf_counter() - t0
+    flops = iters * _flops_of(eng._compiled[("batch", contents.shape, iters)],
+                              contents, styles, contents)
+    return {"metric": f"gatys_{size}sq_batch{frames}_frames_per_sec",
+            "value": round(frames / dt, 3), "unit": "frames/sec/chip",
+            **_no_baseline("reference sweeps one frame at a time; "
+                           "single_frame_s is this run's own reference"),
+            "single_frame_s": round(single_s, 3),
+            "aggregate_speedup": round(frames / dt * single_s, 2),
+            **_mfu_fields(flops, frames, dt)}
 
 
 def bench_cyclegan_train(size: int = 256, batch: int = 4, iters: int = 10):
@@ -97,9 +204,11 @@ def bench_cyclegan_train(size: int = 256, batch: int = 4, iters: int = 10):
         state, m = eng.train_step(state, a, b)
     _sync(m)
     dt = (time.perf_counter() - t0) / iters
+    flops = _flops_of(type(eng).train_step, eng, state, a, b)
     return {"metric": f"cyclegan_{size}sq_train_step_images_per_sec",
             "value": round(batch / dt, 1), "unit": "images/sec/chip",
-            "vs_baseline": 0.0}
+            **_no_baseline("reference publishes no training throughput"),
+            **_mfu_fields(flops, batch, dt)}
 
 
 def bench_p2phd_train(size: int, net_g: str, num_d: int, iters: int = 5,
@@ -137,8 +246,14 @@ def bench_p2phd_train(size: int, net_g: str, num_d: int, iters: int = 5,
         state, m, _ = eng.train_step(state, label, None, image)
     _sync(m)
     dt = (time.perf_counter() - t0) / iters
+    flops = _flops_of(type(eng).train_step, eng, state, label, None, image)
+    mfu_engine = "fp32" if compute_dtype == jnp.float32 else "bf16"
     return {"metric": f"p2phd_{net_g}_{size}sq_train_step_seconds",
-            "value": round(dt, 4), "unit": "s/step", "vs_baseline": 0.0,
+            "value": round(dt, 4), "unit": "s/step",
+            **_no_baseline("reference publishes no training throughput"),
+            **_mfu_fields(flops, 1, dt, engine=mfu_engine,
+                          note="fp32 rows measured against the bf16 peak"
+                          if mfu_engine == "fp32" else ""),
             "first_step_compile_s": compile_s}
 
 
@@ -193,10 +308,16 @@ def bench_p2phd_infer(size: int = 512, batch: int = 16, iters: int = 10,
         ips = measure(infer_int8, params, qblocks)
     else:
         ips = bf16
+    flops = _flops_of(infer_bf16, params, batch_x)
     return {"metric": f"p2phd_global_{size}sq_{engine}_infer_throughput",
             "value": round(ips, 1), "unit": "images/sec/chip",
-            "vs_baseline": round(ips / max(bf16, 1e-9), 3),
-            "bf16_img_s": round(bf16, 1)}
+            **_no_baseline("reference publishes no TRT throughput"),
+            "speedup_vs_bf16": round(ips / max(bf16, 1e-9), 3),
+            "bf16_img_s": round(bf16, 1),
+            **_mfu_fields(flops, batch, batch / ips, engine=engine,
+                          note="algorithmic FLOPs from the bf16 program "
+                          "(pallas int8 kernels are opaque to the XLA "
+                          "cost model)" if engine == "int8" else "")}
 
 
 CONFIGS = {
@@ -204,6 +325,8 @@ CONFIGS = {
     # the north-star config: 512² full 300-iter optimization, <5 s target
     "gatys512": lambda: bench_gatys(512, 300),
     "gatys_hr": lambda: bench_gatys(512, 300, hr=True),
+    # batched directory sweep (VERDICT r3 #2): >=2x aggregate vs single-frame
+    "gatys512_batch4": lambda: bench_gatys_batch(512, 4, 300),
     "cyclegan256": lambda: bench_cyclegan_train(256, 4),
     "p2phd512": lambda: bench_p2phd_train(512, "global", 2),
     "p2phd1024": lambda: bench_p2phd_train(1024, "local", 3),
@@ -258,10 +381,14 @@ def bench_local_infer(size: int = 1024, batch: int = 4, iters: int = 10):
 
     bf16 = measure(infer_bf16, params)
     ips = measure(infer_int8, params, q)
+    flops = _flops_of(infer_bf16, params, bx)
     return {"metric": f"p2phd_local_{size}sq_int8_infer_throughput",
             "value": round(ips, 1), "unit": "images/sec/chip",
-            "vs_baseline": round(ips / max(bf16, 1e-9), 3),
-            "bf16_img_s": round(bf16, 1)}
+            **_no_baseline("reference publishes no TRT throughput"),
+            "speedup_vs_bf16": round(ips / max(bf16, 1e-9), 3),
+            "bf16_img_s": round(bf16, 1),
+            **_mfu_fields(flops, batch, batch / ips, engine="int8",
+                          note="algorithmic FLOPs from the bf16 program")}
 
 
 def bench_unet_infer(size: int = 512, batch: int = 8, iters: int = 10):
@@ -305,10 +432,14 @@ def bench_unet_infer(size: int = 512, batch: int = 8, iters: int = 10):
 
     bf16 = measure(infer_bf16, params)
     ips = measure(infer_int8, params, q)
+    flops = _flops_of(infer_bf16, params, bx)
     return {"metric": f"p2phd_unet_msrb_{size}sq_int8_infer_throughput",
             "value": round(ips, 1), "unit": "images/sec/chip",
-            "vs_baseline": round(ips / max(bf16, 1e-9), 3),
-            "bf16_img_s": round(bf16, 1)}
+            **_no_baseline("reference publishes no TRT throughput"),
+            "speedup_vs_bf16": round(ips / max(bf16, 1e-9), 3),
+            "bf16_img_s": round(bf16, 1),
+            **_mfu_fields(flops, batch, batch / ips, engine="int8",
+                          note="algorithmic FLOPs from the bf16 program")}
 
 
 def main(argv=None):

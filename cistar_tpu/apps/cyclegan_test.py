@@ -34,6 +34,19 @@ def parse_args(argv=None):
                    help="abort if the first inference is still compiling "
                         "after this many seconds (default: no limit, env "
                         "CISTAR_COMPILE_TIMEOUT)")
+    p.add_argument("--shard", action="store_true",
+                   help="batch-shard inference over ALL visible devices "
+                        "(jax.sharding mesh; the v5e-8 fleet configuration "
+                        "— params replicated, batch split over ICI)")
+    p.add_argument("--export_engine", type=str, default="",
+                   help="AOT-export the (sharded) inference program to this "
+                        "path and exit — the TPU-native TensorRT-engine-"
+                        "build role (run_engine.py:160-173); requires "
+                        "--batchSize divisible by the device count")
+    p.add_argument("--engine_file", type=str, default="",
+                   help="run a previously exported program instead of "
+                        "jitting (TRT load_engine role, run_engine.py:104); "
+                        "must match the current device count and batch size")
     p.add_argument("--platform", default="", choices=["", "cpu", "tpu", "axon"],
                    help="force a JAX platform (the baked sitecustomize pins the TPU)")
     return p.parse_args(argv)
@@ -66,7 +79,44 @@ def main(argv=None):
     state = engine.init_state(jax.random.PRNGKey(0), image_size=args.size)
     state = ckpt.load_cyclegan_state(args.model_dir, state)
 
-    if args.engine == "int8":
+    sharded = args.shard or args.export_engine or args.engine_file
+    if sharded:
+        from jax.sharding import PartitionSpec as P
+
+        from cistar_tpu.parallel.sharding import make_mesh
+        from cistar_tpu.runtime.aot import (load_compiled_sharded,
+                                            save_compiled_sharded)
+
+        mesh = make_mesh()
+        n_dev = mesh.devices.size
+        if args.batchSize % n_dev:
+            raise SystemExit(f"--batchSize {args.batchSize} must divide the "
+                             f"device count {n_dev} for --shard/--export_engine")
+        if args.engine == "int8":
+            q_a2b, q_b2a = engine.quantize_generators(state)
+            print("int8 engine: quantized both generators' residual trunks")
+            extra = (state.g_a2b, state.g_b2a, q_a2b, q_b2a)
+        else:
+            extra = (state.g_a2b, state.g_b2a)
+        specs = (P(),) * len(extra) + (P("data"), P("data"))
+        program = engine.make_sharded_infer(mesh, engine=args.engine)
+        if args.export_engine:
+            zb = jnp.zeros((args.batchSize, args.size, args.size,
+                            args.input_nc), jnp.float32)
+            nbytes = save_compiled_sharded(
+                program, extra + (zb, zb), args.export_engine)
+            print(f"exported {n_dev}-device {args.engine} inference program "
+                  f"(batch {args.batchSize}, {args.size}^2) to "
+                  f"{args.export_engine} ({nbytes} bytes)")
+            return
+        if args.engine_file:
+            program = load_compiled_sharded(args.engine_file, mesh, specs)
+            print(f"loaded serialized {n_dev}-device program from "
+                  f"{args.engine_file}")
+        infer = lambda a, b: program(*extra, a, b)
+        print(f"sharded inference over {n_dev} device(s): batch axis split "
+              f"across the 'data' mesh axis, params replicated")
+    elif args.engine == "int8":
         q_a2b, q_b2a = engine.quantize_generators(state)
         print("int8 engine: quantized both generators' residual trunks")
         infer = lambda a, b: engine.infer_step_int8(state, q_a2b, q_b2a,
@@ -87,11 +137,18 @@ def main(argv=None):
         for i, batch in enumerate(loader):
             a = jnp.asarray(batch["A"])
             b = jnp.asarray(batch["B"])
+            n0 = a.shape[0]
+            if sharded and n0 != args.batchSize:
+                # pad the tail batch: sharded/serialized programs are fixed
+                # shape (batch must divide the mesh); extra rows are dropped
+                pad = [(0, args.batchSize - n0)] + [(0, 0)] * (a.ndim - 1)
+                a = jnp.pad(a, pad, mode="edge")
+                b = jnp.pad(b, pad, mode="edge")
             fake_b, fake_a, rec_b = infer(a, b)
             if i == 0:
                 jax.block_until_ready(rec_b)
                 watchdog.done()
-            for j in range(a.shape[0]):
+            for j in range(n0):
                 name = batch["name"][j]
                 arr = np.clip(denormalize(np.asarray(rec_b[j])), 0, 1)
                 array_to_pil(arr).save(os.path.join(save_dir, name))

@@ -304,3 +304,62 @@ class CycleGAN:
                                     batch.astype(self.cdt))
 
         return fn
+
+    # -- fleet-scale sharded inference (the v5e-8 deployment program) --------
+    def make_sharded_infer(self, mesh, engine: str = "bf16",
+                           expect_kernel: bool = False):
+        """Batch-sharded SPMD inference program over ``mesh`` — the
+        deployment unit behind the ≥10k img/s v5e-8 north star: parameters
+        replicated, the batch axis split over the mesh's ``data`` axis, no
+        collectives in the step (instance norm is per-sample). The whole
+        body runs under ``shard_map`` so the int8 Pallas kernels execute
+        per-device instead of tripping the SPMD partitioner on an opaque
+        custom call.
+
+        Returns a jitted positional function suitable for
+        :func:`cistar_tpu.runtime.aot.save_compiled_sharded`:
+        ``bf16``: ``f(g_a2b, g_b2a, a, b)``;
+        ``int8``: ``f(g_a2b, g_b2a, q_a2b, q_b2a, a, b)`` —
+        each returns ``(fake_b, fake_a, recover_b)``
+        (``CycleGAN/test.py:141-145`` semantics). Fleet role of the
+        reference's TRT engine driver, ``p2pHD/run_engine.py:134-173``.
+        """
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cdt = self.cdt
+
+        if engine == "int8":
+            from cistar_tpu.models.fast_infer import \
+                resnet_generator_int8_trunk_apply as int8_fwd
+            nrb = self.n_residual_blocks
+
+            def body(g_a2b, g_b2a, q_a2b, q_b2a, a, b):
+                def gen(p, q, x):
+                    return int8_fwd(p, q, x.astype(cdt), nrb,
+                                    expect_kernel=expect_kernel
+                                    ).astype(jnp.float32)
+
+                fake_b = gen(g_a2b, q_a2b, a)
+                fake_a = gen(g_b2a, q_b2a, b)
+                return fake_b, fake_a, gen(g_a2b, q_a2b, (fake_a - 0.5) / 0.5)
+
+            in_specs = (P(), P(), P(), P(), P("data"), P("data"))
+        else:
+
+            def body(g_a2b, g_b2a, a, b):
+                fake_b = self._gen(self.G_a2b, g_a2b, a)
+                fake_a = self._gen(self.G_b2a, g_b2a, b)
+                renorm = (fake_a - 0.5) / 0.5
+                return fake_b, fake_a, self._gen(self.G_a2b, g_a2b, renorm)
+
+            in_specs = (P(), P(), P("data"), P("data"))
+
+        sharded = shard_map(body, mesh=mesh, in_specs=in_specs,
+                            out_specs=P("data"), check_vma=False)
+        dsh = NamedSharding(mesh, P("data"))
+        rsh = NamedSharding(mesh, P())
+        n_repl = len(in_specs) - 2
+        return jax.jit(sharded,
+                       in_shardings=(rsh,) * n_repl + (dsh, dsh),
+                       out_shardings=(dsh, dsh, dsh))

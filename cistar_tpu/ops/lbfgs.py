@@ -14,12 +14,18 @@ Python closure + optimizer step per iteration). The classic two-loop
 recursion is replaced by its algebraically identical **matrix form**: the
 backward-loop alphas and forward-loop betas each solve a unit-lower-triangular
 m×m system built from cached Gram matrices S·Yᵀ and Y·Yᵀ (maintained
-incrementally, one row+column per accepted pair). That turns 2m sequential
-row-vector ops per iteration into 4 large matvecs + 2 small triangular solves
-— the large ops are single HBM passes over the history, and nothing on the
-critical path is sequential in m. Convergence tests (grad/step/loss
-tolerances) freeze the iterate by zeroing the step rather than early-exiting,
-keeping the shape program static.
+incrementally, one row+column per accepted pair).
+
+HBM discipline (the hot-loop profile at 1024² was history-bandwidth-bound,
+``benchmarks/profile_gatys1024.json``): S and Y live in ONE ``(2m, n)``
+buffer, and each iteration touches the full history exactly TWICE —
+one ``Hᵀ·coef`` matvec producing the direction, and one ``H·[s y g]``
+matmul producing every Gram row/column update AND the cached ``S·g``/``Y·g``
+vectors the NEXT direction needs. There is no ``lax.cond`` on the first
+iteration: with zero valid pairs every ρ is 0, the triangular systems
+collapse to identity, γ = 1, and the direction reduces exactly to ``-g``.
+Convergence tests (grad/step/loss tolerances) freeze the iterate by zeroing
+the step rather than early-exiting, keeping the shape program static.
 """
 
 from __future__ import annotations
@@ -39,11 +45,12 @@ class LBFGSState(NamedTuple):
     x: jnp.ndarray          # flat iterate (n,)
     g: jnp.ndarray          # flat gradient at x (n,)
     loss: jnp.ndarray       # scalar loss at x
-    s_hist: jnp.ndarray     # (m, n) s = t*d history ring
-    y_hist: jnp.ndarray     # (m, n) y = g_{k} - g_{k-1} history ring
+    hist: jnp.ndarray       # (2m, n) ring: rows [0, m) = S, rows [m, 2m) = Y
     rho: jnp.ndarray        # (m,) 1/(yᵀs)
     sy: jnp.ndarray         # (m, m) cached S·Yᵀ  (sy[i, j] = s_iᵀ y_j)
     yy: jnp.ndarray         # (m, m) cached Y·Yᵀ
+    sg: jnp.ndarray         # (m,) cached S·g for the CURRENT g
+    yg: jnp.ndarray         # (m,) cached Y·g for the CURRENT g
     head: jnp.ndarray       # int32 ring head (next write slot)
     count: jnp.ndarray      # int32 valid entries (≤ m)
     k: jnp.ndarray          # int32 iteration counter
@@ -59,21 +66,23 @@ def _direction(state: LBFGSState, m: int) -> jnp.ndarray:
       (I + diag(ρ)·L) α = diag(ρ)·S·g               (backward-loop alphas)
       r₀ = γ (g − Yᵀα)
       (I + diag(ρ')·L') β = diag(ρ')·(Y·r₀ + L'·α)   (forward-loop betas)
-      d  = −(r₀ + Sᵀ(α − β))
+      d  = −(r₀ + Sᵀ(α − β)) = −(γ·g + Hᵀ·[α−β; −γα])
 
-    Rows past ``count`` have ρ = 0 and reduce to identity rows, so invalid
-    ring slots contribute nothing.
+    ``S·g`` and ``Y·g`` come from the carry caches (computed against the
+    post-update history by the previous iteration); the ONLY full-history
+    pass here is the final fused ``Hᵀ`` matvec. Rows past ``count`` have
+    ρ = 0 and reduce to identity rows, so invalid ring slots — and the
+    entire count == 0 first iteration, where this returns exactly ``-g`` —
+    contribute nothing.
     """
-    g, S, Y, rho = state.g, state.s_hist, state.y_hist, state.rho
+    g, rho = state.g, state.rho
     head, count = state.head, state.count
+    Sg, Yg = state.sg, state.yg
 
     idx = jnp.arange(m, dtype=jnp.int32)
     valid = idx < count
     ord_bwd = jnp.mod(head - 1 - idx, m)       # newest first
     ord_fwd = jnp.mod(head - count + idx, m)   # oldest first
-
-    Sg = jnp.matmul(S, g, precision=_PREC).astype(jnp.float32)
-    Yg = jnp.matmul(Y, g, precision=_PREC).astype(jnp.float32)
 
     # ---- backward loop (alphas), newest-first order -----------------------
     rho_b = jnp.where(valid, rho[ord_bwd], 0.0)
@@ -90,8 +99,6 @@ def _direction(state: LBFGSState, m: int) -> jnp.ndarray:
     yy_last = state.yy[last, last]
     gamma = jnp.where(count > 0, ys_last / jnp.maximum(yy_last, 1e-38), 1.0)
 
-    r0 = gamma * (g - jnp.matmul(Y.T, alpha.astype(Y.dtype),
-                                 precision=_PREC).astype(jnp.float32))
     Yr0 = gamma * (Yg - jnp.matmul(state.yy, alpha, precision=_PREC))
 
     # ---- forward loop (betas), oldest-first order -------------------------
@@ -105,9 +112,10 @@ def _direction(state: LBFGSState, m: int) -> jnp.ndarray:
     beta_f = jax.scipy.linalg.solve_triangular(M2, rhs2, lower=True)
     beta = jnp.zeros((m,), g.dtype).at[ord_fwd].set(beta_f)
 
-    u = alpha - beta
-    d = -(r0 + jnp.matmul(S.T, u.astype(S.dtype),
-                          precision=_PREC).astype(jnp.float32))
+    # ---- single fused full-history pass -----------------------------------
+    coef = jnp.concatenate([alpha - beta, -gamma * alpha])
+    d = -(gamma * g + jnp.matmul(state.hist.T, coef.astype(state.hist.dtype),
+                                 precision=_PREC).astype(jnp.float32))
     return d
 
 
@@ -141,11 +149,12 @@ def lbfgs_minimize(
         x=flat0,
         g=g0.astype(jnp.float32),
         loss=loss0.astype(jnp.float32),
-        s_hist=jnp.zeros((m, n), history_dtype),
-        y_hist=jnp.zeros((m, n), history_dtype),
+        hist=jnp.zeros((2 * m, n), history_dtype),
         rho=jnp.zeros((m,), jnp.float32),
         sy=jnp.zeros((m, m), jnp.float32),
         yy=jnp.zeros((m, m), jnp.float32),
+        sg=jnp.zeros((m,), jnp.float32),
+        yg=jnp.zeros((m,), jnp.float32),
         head=jnp.zeros((), jnp.int32),
         count=jnp.zeros((), jnp.int32),
         k=jnp.zeros((), jnp.int32),
@@ -153,13 +162,7 @@ def lbfgs_minimize(
     )
 
     def step(state: LBFGSState, _):
-        def first_dir(_):
-            return -state.g
-
-        def hist_dir(_):
-            return _direction(state, m)
-
-        d = lax.cond(state.k == 0, first_dir, hist_dir, None)
+        d = _direction(state, m)
 
         # Step size: first iteration scales by min(1, 1/||g||_1) (torch rule).
         t = jnp.where(
@@ -189,27 +192,31 @@ def lbfgs_minimize(
         ys = jnp.vdot(y, s_vec, precision=_PREC)
         store = (ys > 1e-10) & ~state.done
         idx = state.head
-        zero_f = jnp.float32(0)
         # Rows may be stored at reduced precision (history_dtype=bf16 halves
         # the optimizer's HBM traffic); ρ and the Gram caches are computed
         # from the STORED values so the direction math stays self-consistent.
-        s_row = jnp.where(store, s_vec.astype(history_dtype), state.s_hist[idx])
-        y_row = jnp.where(store, y.astype(history_dtype), state.y_hist[idx])
-        s_hist = state.s_hist.at[idx].set(s_row)
-        y_hist = state.y_hist.at[idx].set(y_row)
+        hd = state.hist.dtype
+        s_row = jnp.where(store, s_vec.astype(hd), state.hist[idx])
+        y_row = jnp.where(store, y.astype(hd), state.hist[m + idx])
+        hist = state.hist.at[idx].set(s_row).at[m + idx].set(y_row)
         rho = state.rho.at[idx].set(
             jnp.where(store, 1.0 / jnp.where(store, ys, 1.0), state.rho[idx]))
 
-        # Incremental Gram updates: new row+column at slot ``idx``.
-        # sy[i, j] = s_iᵀ y_j:  row idx ← s_newᵀ y_j = (Y @ s_new)_j;
-        #                       col idx ← s_iᵀ y_new = (S @ y_new)_i.
-        Ys = jnp.matmul(y_hist, s_row, precision=_PREC).astype(jnp.float32)
-        Sy = jnp.matmul(s_hist, y_row, precision=_PREC).astype(jnp.float32)
-        Yy = jnp.matmul(y_hist, y_row, precision=_PREC).astype(jnp.float32)
-        sy = state.sy.at[idx, :].set(jnp.where(store, Ys, state.sy[idx, :]))
-        sy = sy.at[:, idx].set(jnp.where(store, Sy, sy[:, idx]))
-        yy = state.yy.at[idx, :].set(jnp.where(store, Yy, state.yy[idx, :]))
-        yy = yy.at[:, idx].set(jnp.where(store, Yy, yy[:, idx]))
+        # ONE full-history pass yields every update quantity at once:
+        #   H·[s y g] → (S·s, S·y, S·g | Y·s, Y·y, Y·g) against the POST-
+        # update rows. S·g/Y·g refill the caches for the next direction;
+        # the s/y columns are the new Gram row+column at slot ``idx``.
+        rhs = jnp.stack([s_row, y_row, g_new.astype(hd)], axis=1)
+        prods = jnp.matmul(hist, rhs, precision=_PREC).astype(jnp.float32)
+        Ss_, Sy_, sg_new = prods[:m, 0], prods[:m, 1], prods[:m, 2]
+        Ys_, Yy_, yg_new = prods[m:, 0], prods[m:, 1], prods[m:, 2]
+
+        # sy[i, j] = s_iᵀ y_j:  row idx ← s_newᵀ y_j = (Y·s_new)_j;
+        #                       col idx ← s_iᵀ y_new = (S·y_new)_i.
+        sy = state.sy.at[idx, :].set(jnp.where(store, Ys_, state.sy[idx, :]))
+        sy = sy.at[:, idx].set(jnp.where(store, Sy_, sy[:, idx]))
+        yy = state.yy.at[idx, :].set(jnp.where(store, Yy_, state.yy[idx, :]))
+        yy = yy.at[:, idx].set(jnp.where(store, Yy_, yy[:, idx]))
 
         head = jnp.where(store, jnp.mod(state.head + 1, m), state.head)
         count = jnp.where(store, jnp.minimum(state.count + 1, m), state.count)
@@ -222,7 +229,7 @@ def lbfgs_minimize(
 
         new_state = LBFGSState(
             x=x_new, g=g_new, loss=loss_new,
-            s_hist=s_hist, y_hist=y_hist, rho=rho, sy=sy, yy=yy,
+            hist=hist, rho=rho, sy=sy, yy=yy, sg=sg_new, yg=yg_new,
             head=head, count=count, k=state.k + 1, done=done,
         )
         return new_state, loss_new

@@ -43,6 +43,50 @@ def load_compiled(path: str) -> Callable:
     return jax.jit(exported.call)
 
 
+def load_compiled_sharded(path: str, mesh, in_specs: Sequence[Any]) -> Callable:
+    """Load a serialized SPMD program exported by :func:`save_compiled_sharded`.
+
+    The exported body requires exactly ``mesh.devices.size`` devices, so the
+    returned callable first places each argument (pytree) with its
+    ``PartitionSpec`` from ``in_specs`` onto ``mesh`` — calling it with plain
+    host/single-device arrays would otherwise fail with a device-count
+    mismatch.
+    """
+    import jax.numpy as _jnp
+    from jax.sharding import NamedSharding
+
+    with open(path, "rb") as f:
+        data = f.read()
+    exported = jax.export.deserialize(bytearray(data))
+    call = jax.jit(exported.call)
+
+    def runner(*args):
+        placed = tuple(
+            jax.tree.map(lambda x: jax.device_put(
+                _jnp.asarray(x), NamedSharding(mesh, spec)), arg)
+            for arg, spec in zip(args, in_specs))
+        return call(*placed)
+
+    return runner
+
+
+def save_compiled_sharded(jitted_fn: Callable, example_args: Sequence[Any],
+                          path: str) -> int:
+    """Serialize an ALREADY shard-annotated jitted function (e.g. the
+    engines' ``make_sharded_infer`` programs) to disk.
+
+    The exported artifact captures the mesh size and every in/out sharding;
+    loading it on a device set of the same size re-runs the same SPMD
+    program — the fleet-scale analogue of a serialized TensorRT engine
+    (``p2pHD/run_engine.py:104-120``). Returns the artifact size in bytes.
+    """
+    exported = jax.export.export(jitted_fn)(*example_args)
+    data = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(data)
+    return len(data)
+
+
 def _sync(x) -> float:
     """Force execution with a tiny host fetch (axon-safe sync)."""
     leaf = jax.tree.leaves(x)[0]

@@ -110,8 +110,10 @@ def test_direction_matches_naive_two_loop(rng):
 
     state = LBFGSState(
         x=jnp.zeros(n), g=jnp.asarray(g), loss=jnp.float32(0),
-        s_hist=jnp.asarray(S), y_hist=jnp.asarray(Y), rho=jnp.asarray(rho),
+        hist=jnp.asarray(np.concatenate([S, Y], axis=0)),
+        rho=jnp.asarray(rho),
         sy=jnp.asarray(S @ Y.T), yy=jnp.asarray(Y @ Y.T),
+        sg=jnp.asarray(S @ g), yg=jnp.asarray(Y @ g),
         head=jnp.int32(head), count=jnp.int32(count),
         k=jnp.int32(count), done=jnp.asarray(False),
     )
