@@ -182,6 +182,69 @@ def bench_gatys_batch(size: int = 512, frames: int = 4, iters: int = 300):
             **_mfu_fields(flops, frames, dt)}
 
 
+def bench_cyclegan_family_infer(gen_type: str, size: int = 512,
+                                batch: int = 32, iters: int = 10,
+                                dense: bool = True, in_features: int = 16):
+    """bf16 vs int8 inference for the non-ResNet CycleGAN families
+    (VERDICT r3 #3: bilinear_content — the CLI default — and atrous_dense;
+    the reference's TRT int8 tier is family-agnostic)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cistar_tpu.models import fast_infer as fi
+    from cistar_tpu.models.cyclegan import build_generator
+
+    model = build_generator(gen_type, output_nc=1, in_features=in_features,
+                            n_residual_blocks=6, dense_decoder=dense)
+    rng = np.random.RandomState(0)
+    x0 = jnp.zeros((1, size, size, 1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x0)["params"]
+    if gen_type.startswith("bilinear"):
+        q = fi.quantize_bilinear_trunk(params, 6)
+        int8_apply = lambda p, qb, x: fi.bilinear_generator_int8_trunk_apply(
+            p, qb, x, 6, expect_kernel=True)
+    else:
+        q = fi.quantize_multiscale_trunk(params, 6)
+        int8_apply = lambda p, qb, x: fi.multiscale_generator_int8_trunk_apply(
+            p, qb, x, 6, dense_decoder=dense, expect_kernel=True)
+
+    @jax.jit
+    def infer_bf16(p, x):
+        return model.apply({"params": p},
+                           x.astype(jnp.bfloat16)).astype(jnp.float32)
+
+    @jax.jit
+    def infer_int8(p, qb, x):
+        return int8_apply(p, qb, x.astype(jnp.bfloat16)).astype(jnp.float32)
+
+    bx = jnp.asarray(rng.rand(batch, size, size, 1).astype(np.float32) * 2 - 1)
+
+    def measure(f, *extra):
+        x = f(*extra, bx)
+        _sync(x)
+        x = f(*extra, x)
+        _sync(x)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            x = f(*extra, x)
+        _sync(x)
+        return batch * iters / (time.perf_counter() - t0)
+
+    bf16 = measure(infer_bf16, params)
+    ips = measure(infer_int8, params, q)
+    flops = _flops_of(infer_bf16, params, bx)
+    tag = "dense" if (dense and gen_type.startswith("atrous")) else ""
+    return {"metric": f"cyclegan_{gen_type}{tag}_{size}sq_int8_infer_"
+                      "throughput",
+            "value": round(ips, 1), "unit": "images/sec/chip",
+            **_no_baseline("reference publishes no TRT throughput"),
+            "speedup_vs_bf16": round(ips / max(bf16, 1e-9), 3),
+            "bf16_img_s": round(bf16, 1),
+            **_mfu_fields(flops, batch, batch / ips, engine="int8",
+                          note="algorithmic FLOPs from the bf16 program")}
+
+
 def bench_cyclegan_train(size: int = 256, batch: int = 4, iters: int = 10):
     import jax
     import jax.numpy as jnp
@@ -337,6 +400,11 @@ CONFIGS = {
     "unet512_train": lambda: bench_p2phd_train(512, "UNet", 2, iters=3,
                                                compute_dtype="float32"),
     "p2phd1024_int8": lambda: bench_local_infer(1024),
+    # the remaining CycleGAN int8 families (VERDICT r3 #3)
+    "bilinear512_int8": lambda: bench_cyclegan_family_infer(
+        "bilinear_content", 512),
+    "atrousdense512_int8": lambda: bench_cyclegan_family_infer(
+        "atrous_content", 512, dense=True),
 }
 
 

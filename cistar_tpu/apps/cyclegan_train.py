@@ -99,14 +99,32 @@ def main(argv=None):
     watchdog = CompileWatchdog("CycleGAN train step",
                                timeout=args.compile_timeout).start()
     first_step = True
+    cached_step, cached_shape = None, None
+    step_key = repr(sorted((k, repr(v)) for k, v in vars(args).items()
+                           if k not in {"dataroot", "output_dir", "resume",
+                                        "log_every", "compile_timeout"}))
     try:
         for epoch in range(args.epoch, args.n_epochs):
             for batch in loader:
                 arrs = {"A": batch["A"], "B": batch["B"]}
                 arrs, _ = pad_batch_to_multiple(arrs, n_dev)
                 dev_batch = shard_batch(arrs, mesh)
-                state, metrics = engine.train_step(state, dev_batch["A"],
-                                                   dev_batch["B"])
+                if cached_step is None:
+                    # disk-backed executable cache — fresh processes skip
+                    # the multi-minute XLA compile (core.cache)
+                    from cistar_tpu.core.cache import exec_cache_compile
+
+                    cached_step = exec_cache_compile(
+                        type(engine).train_step,
+                        (engine, state, dev_batch["A"], dev_batch["B"]),
+                        key="cyclegan_train:" + step_key)
+                    cached_shape = dev_batch["A"].shape
+                if dev_batch["A"].shape == cached_shape:
+                    state, metrics = cached_step(state, dev_batch["A"],
+                                                 dev_batch["B"])
+                else:  # padded tail batch: plain jit path
+                    state, metrics = engine.train_step(state, dev_batch["A"],
+                                                       dev_batch["B"])
                 if first_step:
                     jax.device_get(metrics)  # make the watchdog window honest
                     watchdog.done()

@@ -59,7 +59,7 @@ def main(argv=None):
         # the reference's int8 tier (test.py:45-48 → TRT int8 engines,
         # run_engine.py:160-165): statically quantize the trunk once, then
         # every inference below runs the int8-MXU forward
-        qblocks = engine.quantize_generator(g_params)
+        qblocks = engine.quantize_generator(g_params, g_stats=g_stats)
         print(f"int8 engine: quantized {len(qblocks)} trunk blocks "
               f"(netG={opt.netG})")
 
@@ -102,7 +102,8 @@ def main(argv=None):
             print(f"(per-op trace unavailable: {e})")
         infer = run
     elif qblocks is not None:
-        infer = lambda label: engine.infer_step_int8(g_params, qblocks, label)
+        infer = lambda label: engine.infer_step_int8(g_params, qblocks, label,
+                                                     g_stats=g_stats)
     else:
         infer = lambda label: engine.infer_step(g_params, label,
                                                 g_stats=g_stats)
@@ -154,7 +155,8 @@ def _p2phd_test_loop(opt, loader, watchdog, infer, qblocks, engine,
             fake = np.asarray(infer(label))
         elif qblocks is not None:
             fake = np.asarray(engine.infer_step_int8(g_params, qblocks,
-                                                     label, inst=inst))
+                                                     label, inst=inst,
+                                                     g_stats=g_stats))
         else:
             fake = np.asarray(engine.infer_step(g_params, label, inst,
                                                 g_stats=g_stats))

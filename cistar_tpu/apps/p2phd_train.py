@@ -17,6 +17,24 @@ from __future__ import annotations
 import os
 
 
+def _opt_fingerprint(opt) -> str:
+    """Stable fingerprint of every option that can shape the compiled train
+    step. Output paths / logging cadence / host-side knobs are excluded so
+    renaming an experiment doesn't force a recompile; anything unknown is
+    INCLUDED (a false miss only costs one compile, a false hit would run the
+    wrong program)."""
+    skip = {"name", "dataroot", "checkpoints_dir", "results_dir",
+            "load_opt", "load_pretrain", "which_epoch", "continue_train",
+            "display_freq", "display_winsize", "print_freq",
+            "save_latest_freq", "save_epoch_freq", "nThreads", "how_many",
+            "compile_timeout", "serial_batches", "no_flip", "tf_log",
+            "no_html", "debug", "max_dataset_size", "phase", "gpu_ids",
+            "verbose", "isTrain"}
+    items = sorted((k, repr(v)) for k, v in vars(opt).items()
+                   if k not in skip)
+    return repr(items)
+
+
 def main(argv=None):
     from cistar_tpu.apps.p2phd_options import TrainOptions
 
@@ -109,6 +127,7 @@ def main(argv=None):
     watchdog = CompileWatchdog("p2pHD train step",
                                timeout=opt.compile_timeout).start()
     total_iter = (start_epoch - 1) * len(dataset) + epoch_iter
+    _cached_step, _cached_shape = None, None
     if len(dataset) == 0:
         # nothing will ever reach the first-step done(); disarm so the
         # checkpoint-saving epoch loop below can't trip a bogus timeout
@@ -125,8 +144,25 @@ def main(argv=None):
             arrs = {"label": batch["label"], "image": batch["image"]}
             arrs, _ = pad_batch_to_multiple(arrs, n_dev)
             dev = shard_batch(arrs, mesh)
-            state, metrics, _fake = engine.train_step(
-                state, dev["label"], None, dev["image"])
+            if _cached_step is None:
+                # Disk-backed EXECUTABLE cache: on this backend the XLA
+                # persistent cache is unusable, so a fresh process repaid
+                # the full train-step compile (~4 min for the shipped 512²
+                # UNet-MSRB recipe). The first process serializes the
+                # compiled step; later ones load it in ~0.1 s (core.cache).
+                from cistar_tpu.core.cache import exec_cache_compile
+
+                _cached_step = exec_cache_compile(
+                    type(engine).train_step,
+                    (engine, state, dev["label"], None, dev["image"]),
+                    key="p2phd_train:" + _opt_fingerprint(opt))
+                _cached_shape = dev["label"].shape
+            if dev["label"].shape == _cached_shape:
+                state, metrics, _fake = _cached_step(
+                    state, dev["label"], None, dev["image"])
+            else:  # padded tail batch of a different shape: plain jit path
+                state, metrics, _fake = engine.train_step(
+                    state, dev["label"], None, dev["image"])
             if first_step:
                 # force the compile+execute to finish so the message is honest
                 jax.device_get(metrics)

@@ -91,6 +91,7 @@ class CycleGAN:
         self.D_b = PatchDiscriminator()
         self.gen_type = gen_type
         self.n_residual_blocks = n_residual_blocks
+        self.dense_decoder = dense_decoder
         self.input_nc, self.output_nc = input_nc, output_nc
         self.lr, self.n_epochs = lr, n_epochs
         self.start_epoch, self.decay_epoch = start_epoch, decay_epoch
@@ -265,31 +266,53 @@ class CycleGAN:
     # -- int8 inference tier (TRT-int8 role, p2pHD/run_engine.py:160-165) ----
     def quantize_generators(self, state: CycleGANState):
         """Static int8 quantization of both generators' residual trunks for
-        :meth:`infer_step_int8`. ResNet family ('p2p*') only — the other
-        generator variants have no res-block trunk to quantize."""
+        :meth:`infer_step_int8`. Family-dispatched like the reference's
+        TRT int8 builder (any exported network, ``run_engine.py:160-165``):
+        'p2p*' quantizes the dense ResNet trunk, 'bilinear*' the atrous res
+        trunk, 'atrous*' the plain res trunk behind the atrous encoder.
+        'unet*' has no res trunk between encoder and decoder worth isolating
+        — it remains bf16-only."""
+        from cistar_tpu.models.fast_infer import (quantize_bilinear_trunk,
+                                                  quantize_multiscale_trunk)
         from cistar_tpu.ops.quant_pallas import quantize_resnet_trunk
 
-        if not self.gen_type.startswith("p2p"):
+        if self.gen_type.startswith("p2p"):
+            fn = lambda p: quantize_resnet_trunk(p, self.n_residual_blocks)
+        elif self.gen_type.startswith("bilinear"):
+            fn = lambda p: quantize_bilinear_trunk(p, self.n_residual_blocks)
+        elif self.gen_type.startswith("atrous"):
+            fn = lambda p: quantize_multiscale_trunk(p, self.n_residual_blocks)
+        else:
             raise NotImplementedError(
                 f"no int8 inference engine for gen_type='{self.gen_type}' "
-                "(supported: p2p*); use the bf16 path")
-        return (quantize_resnet_trunk(state.g_a2b, self.n_residual_blocks),
-                quantize_resnet_trunk(state.g_b2a, self.n_residual_blocks))
+                "(supported: p2p*, bilinear*, atrous*); use the bf16 path")
+        return fn(state.g_a2b), fn(state.g_b2a)
+
+    def _int8_fwd(self, params, q, x, expect_kernel: bool):
+        from cistar_tpu.models import fast_infer as fi
+
+        if self.gen_type.startswith("p2p"):
+            return fi.resnet_generator_int8_trunk_apply(
+                params, q, x, self.n_residual_blocks,
+                expect_kernel=expect_kernel)
+        if self.gen_type.startswith("bilinear"):
+            return fi.bilinear_generator_int8_trunk_apply(
+                params, q, x, self.n_residual_blocks,
+                expect_kernel=expect_kernel)
+        return fi.multiscale_generator_int8_trunk_apply(
+            params, q, x, self.n_residual_blocks,
+            dense_decoder=self.dense_decoder, expect_kernel=expect_kernel)
 
     @functools.partial(jax.jit, static_argnums=(0, 5))
     def infer_step_int8(self, state: CycleGANState, q_a2b, q_b2a,
                         batch_ab, expect_kernel=False):
         """Quantized :meth:`infer_step`: fake_B, fake_A, recover_B with both
         generators' trunks on the int8 MXU (``models.fast_infer``)."""
-        from cistar_tpu.models.fast_infer import \
-            resnet_generator_int8_trunk_apply as int8_fwd
-
         real_a, real_b = batch_ab
 
         def gen(params, q, x):
-            return int8_fwd(params, q, x.astype(self.cdt),
-                            self.n_residual_blocks,
-                            expect_kernel=expect_kernel).astype(jnp.float32)
+            return self._int8_fwd(params, q, x.astype(self.cdt),
+                                  expect_kernel).astype(jnp.float32)
 
         fake_b = gen(state.g_a2b, q_a2b, real_a)
         fake_a = gen(state.g_b2a, q_b2a, real_b)

@@ -394,12 +394,24 @@ class Pix2PixHD:
 
     # -- int8 inference tier (the reference's --data_type 8 / TRT-int8 flow,
     #    p2pHD/test.py:45-48, run_engine.py:160-165) --------------------------
-    def quantize_generator(self, g_params):
+    def quantize_generator(self, g_params, g_stats=None):
         """Static int8 quantization of the generator's trunk for
-        :meth:`infer_step_int8`. Supported families: global, local, UNet."""
+        :meth:`infer_step_int8`. Families: global, local, UNet (instance
+        norm), and multiscale (always BatchNorm per the define_G quirk —
+        running stats folded into the int8 scales, ``g_stats`` required)."""
         from cistar_tpu.models import fast_infer as fi
         from cistar_tpu.ops.quant_pallas import quantize_global_trunk
 
+        if self.net_g == "multiscale":
+            # This family runs with the reference's BatchNorm DEFAULT
+            # regardless of opt.norm (networks.py:40 vs :278). Inference BN
+            # is a fixed affine, so it folds into the quantized scales.
+            if g_stats is None:
+                raise ValueError(
+                    "multiscale int8 needs the generator's batch_stats "
+                    "(pass g_stats; it is part of the checkpoint)")
+            return fi.quantize_multiscale_global(g_params, g_stats,
+                                                 self.n_blocks_global)
         if self.norm != "instance":
             # The int8 forwards apply instance_norm unconditionally; running
             # them against BatchNorm-trained params/stats would silently
@@ -415,16 +427,19 @@ class Pix2PixHD:
             return fi.quantize_unet_msrb(g_params, self.n_blocks_global)
         raise NotImplementedError(
             f"no int8 inference engine for netG='{self.net_g}' "
-            "(supported: global, local, UNet); run --data_type 16/32")
+            "(supported: global, local, UNet, multiscale; 'encoder' is the "
+            "offline feature-precompute network — no deployment tier); "
+            "run --data_type 16/32")
 
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def infer_step_int8(self, g_params, qblocks, label, expect_kernel=False,
-                        inst=None):
+                        inst=None, g_stats=None):
         """Quantized-engine inference: encode_input exactly as
         :meth:`infer_step`, then the int8-MXU forward for this G family
         (``models.fast_infer``). ``qblocks`` from :meth:`quantize_generator`.
-        BatchNorm families have no int8 engine (quantize_generator raises),
-        so no ``g_stats`` is threaded here."""
+        ``g_stats`` is required by the multiscale family only (BatchNorm
+        running stats for the non-quantized bf16 layers; the trunk's BN is
+        folded into ``qblocks``)."""
         from cistar_tpu.models import fast_infer as fi
 
         x = self.encode_input(label, inst).astype(self.cdt)
@@ -445,6 +460,10 @@ class Pix2PixHD:
             out = fi.unet_msrb_int8_apply(
                 g_params, qblocks, x, n_blocks=self.n_blocks_global,
                 expect_kernel=expect_kernel)
+        elif self.net_g == "multiscale":
+            out = fi.multiscale_global_int8_apply(
+                g_params, qblocks, x, g_stats,
+                n_blocks=self.n_blocks_global, expect_kernel=expect_kernel)
         else:
             raise NotImplementedError(
                 f"no int8 inference engine for netG='{self.net_g}'")

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
+import jax
 import jax.numpy as jnp
 
 from cistar_tpu.ops import nn as tnn
@@ -292,3 +293,187 @@ def local_enhancer_int8_apply(params: Dict[str, Any], qblocks, x: jnp.ndarray,
             h = tnn.conv2d_reflect_thin(h, p["w"], p.get("b"))
             h = tnn.tanh(h)
     return h
+
+
+def _multi_atrous_conv(p: Dict[str, Any], x: jnp.ndarray, stride: int = 1,
+                       rates=(2, 4, 6, 8)) -> jnp.ndarray:
+    """bf16 ``MultiAtrousConv``: 4 dilated conv branches, IN+ReLU, summed
+    (``CycleGAN/models.py:329-359``)."""
+    out = None
+    for i, r in enumerate(rates):
+        b = p[f"b{i}_conv"]
+        h = tnn.conv2d(x, b["w"], b.get("b"), stride=stride, padding=r,
+                       dilation=r)
+        h = tnn.relu(tnn.instance_norm(h))
+        out = h if out is None else out + h
+    return out
+
+
+def quantize_bilinear_trunk(params: Dict[str, Any],
+                            n_residual_blocks: int = 6):
+    """Quantize the atrous res trunk of a ``MultiscaleBilinearGenerator``."""
+    from cistar_tpu.ops.quant_pallas import quantize_atrous_resblock
+
+    return [quantize_atrous_resblock(params[f"res_{i}"])
+            for i in range(n_residual_blocks)]
+
+
+def bilinear_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
+                                        x: jnp.ndarray,
+                                        n_residual_blocks: int = 6,
+                                        down_sample: int = 3,
+                                        expect_kernel: bool = False
+                                        ) -> jnp.ndarray:
+    """``MultiscaleBilinearGenerator`` (the CLI-default ``bilinear_content``
+    family, ``CycleGAN/models.py:547-624``) with its atrous res trunk on the
+    int8 MXU (``quant_pallas.atrous_resblock_chain_int8``). Encoder branches
+    and the bilinear-upsample decoder run bf16 XLA; same param tree as the
+    linen model."""
+    from cistar_tpu.ops.quant_pallas import atrous_resblock_chain_int8
+
+    p = params["init_conv"]
+    h = tnn.conv2d_reflect(x, p["w"], p.get("b"))
+    h = tnn.relu(tnn.instance_norm(h))
+    skips = []
+    for i in range(down_sample):
+        h = _multi_atrous_conv(params[f"down_{i}"], h, stride=2)
+        skips.append(h)
+    h = atrous_resblock_chain_int8(h, qblocks, expect_kernel=expect_kernel)
+    for i in range(down_sample):
+        skip = skips[down_sample - 1 - i]
+        h = jnp.concatenate([h, skip], axis=-1)
+        p = params[f"up_{i}"]["conv"]
+        h = tnn.upsample_bilinear(h, 2)
+        h = tnn.conv2d(h, p["w"], p.get("b"), padding=1)
+        h = tnn.relu(tnn.instance_norm(h))
+    p = params["out_conv"]
+    h = tnn.conv2d_reflect(h, p["w"], p.get("b"))
+    return tnn.tanh(h)
+
+
+def quantize_multiscale_trunk(params: Dict[str, Any],
+                              n_residual_blocks: int = 6):
+    """Quantize the PLAIN res trunk of a ``MultiscaleGenerator`` /
+    ``MultiscaleDenseDecoderGenerator`` (atrous encoder, dense res blocks)."""
+    from cistar_tpu.ops.quant_pallas import quantize_resblock
+
+    return [quantize_resblock(params[f"res_{i}"])
+            for i in range(n_residual_blocks)]
+
+
+def multiscale_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
+                                          x: jnp.ndarray,
+                                          n_residual_blocks: int = 6,
+                                          down_sample: int = 3,
+                                          dense_decoder: bool = True,
+                                          expect_kernel: bool = False
+                                          ) -> jnp.ndarray:
+    """``GeneratorMultiscale(DenseDecoder)`` (``CycleGAN/models.py:222-325``,
+    'atrous' family) with the plain res trunk on the int8 MXU
+    (``quant_pallas.resblock_chain_int8_bf16io``). The atrous encoder and
+    the (dense ConvT or atrous-transpose) decoder run bf16 XLA."""
+    from cistar_tpu.ops.quant_pallas import resblock_chain_int8_bf16io
+
+    p = params["init_conv"]
+    h = tnn.conv2d_reflect(x, p["w"], p.get("b"))
+    h = tnn.relu(tnn.instance_norm(h))
+    skips = []
+    for i in range(down_sample):
+        h = _multi_atrous_conv(params[f"down_{i}"], h, stride=2)
+        skips.append(h)
+    h = resblock_chain_int8_bf16io(h, qblocks, expect_kernel=expect_kernel)
+    for i in range(down_sample):
+        skip = skips[down_sample - 1 - i]
+        h = jnp.concatenate([h, skip], axis=-1)
+        up = params[f"up_{i}"]
+        if dense_decoder:
+            p = up["convt"]
+            h = tnn.conv_transpose2d(h, p["w"], p.get("b"), stride=2,
+                                     padding=1, output_padding=1)
+            h = tnn.relu(tnn.instance_norm(h))
+        else:
+            # MultiAtrousTransposeConv: 4 dilated ConvT branches producing
+            # C/4 each, IN per branch, concat + ReLU (models.py:361-391)
+            outs = []
+            for bi, r in enumerate((2, 4, 6, 8)):
+                b = up[f"b{bi}_convt"]
+                hh = tnn.conv_transpose2d(h, b["w"], b.get("b"), stride=2,
+                                          padding=r, output_padding=1,
+                                          dilation=r)
+                outs.append(tnn.instance_norm(hh))
+            h = tnn.relu(jnp.concatenate(outs, axis=-1))
+    p = params["out_conv"]
+    h = tnn.conv2d_reflect(h, p["w"], p.get("b"))
+    return tnn.tanh(h)
+
+
+def quantize_multiscale_global(params: Dict[str, Any], stats: Dict[str, Any],
+                               n_blocks: int = 9):
+    """Quantize the res trunk of a ``MultiscaleGlobalGenerator`` tree.
+
+    The family runs with the reference's BatchNorm DEFAULT regardless of
+    ``opt.norm`` (``networks.py:40`` vs ``:278`` quirk), so the running-stats
+    affine is folded into the int8 scale/bias rows
+    (``quant_pallas.quantize_resblock_bn``); ``stats`` is the generator's
+    ``batch_stats`` tree."""
+    from cistar_tpu.ops.quant_pallas import quantize_resblock_bn
+
+    return [quantize_resblock_bn(params[f"res_{i}"], stats[f"res_{i}"])
+            for i in range(n_blocks)]
+
+
+def _bn_affine(p_norm: Dict[str, Any], s_norm: Dict[str, Any],
+               v: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Inference BatchNorm: the running-stats per-channel affine
+    (``models.pix2pixhd.NormLayer`` batch kind; gamma stored as γ−1)."""
+    g = (jnp.asarray(p_norm["gamma"], jnp.float32) + 1.0) \
+        * jax.lax.rsqrt(jnp.asarray(s_norm["var"], jnp.float32) + eps)
+    b = jnp.asarray(p_norm["beta"], jnp.float32) \
+        - jnp.asarray(s_norm["mean"], jnp.float32) * g
+    return (v.astype(jnp.float32) * g + b).astype(v.dtype)
+
+
+def multiscale_global_int8_apply(params: Dict[str, Any], qblocks,
+                                 x: jnp.ndarray, stats: Dict[str, Any],
+                                 n_blocks: int = 9, cout_tile=None,
+                                 expect_kernel: bool = False) -> jnp.ndarray:
+    """``MultiscaleGlobalGenerator`` (``networks.py:277-340``) with the
+    ngf·8 res trunk on the int8 MXU (BatchNorm folded — ``bn=True`` chains).
+    Pyramid stems / fuse convs / upsamples run bf16 XLA with the running-
+    stats affine applied explicitly."""
+    from cistar_tpu.ops.quant_pallas import (resblock_chain_int8_bf16io,
+                                             resblock_chain_int8_tiled,
+                                             whole_image_resblock_fits)
+
+    def c7s1(name, v):
+        p = params[name]
+        h = tnn.conv2d_reflect(v, p["conv"]["w"], p["conv"].get("b"))
+        return tnn.relu(_bn_affine(p["norm"], stats[name]["norm"], h))
+
+    def down(name, v):
+        p = params[name]
+        h = tnn.conv2d(v, p["conv"]["w"], p["conv"].get("b"), stride=2,
+                       padding=1)
+        return tnn.relu(_bn_affine(p["norm"], stats[name]["norm"], h))
+
+    b1 = down("b1_down", c7s1("b1_stem", x))
+    b2_in = tnn.max_pool2d(x, 3, 2, padding=1)
+    b3_in = tnn.max_pool2d(b2_in, 3, 2, padding=1)
+    b2 = c7s1("feat_stem", b2_in)   # shared stem (reference aliases)
+    b3 = c7s1("feat_stem", b3_in)
+    b12 = down("connect_b12", jnp.concatenate([b1, b2], axis=-1))
+    h = down("connect_b23", jnp.concatenate([b12, b3], axis=-1))
+    if whole_image_resblock_fits(h.shape[1], h.shape[2], h.shape[-1]):
+        h = resblock_chain_int8_bf16io(h, qblocks, expect_kernel=expect_kernel,
+                                       bn=True)
+    else:
+        h = resblock_chain_int8_tiled(h, qblocks, cout_tile=cout_tile,
+                                      expect_kernel=expect_kernel, bn=True)
+    for i in range(3):
+        p = params[f"up_{i}"]
+        h = tnn.conv_transpose2d(h, p["convt"]["w"], p["convt"].get("b"),
+                                 stride=2, padding=1, output_padding=1)
+        h = tnn.relu(_bn_affine(p["norm"], stats[f"up_{i}"]["norm"], h))
+    p = params["head"]["conv"]
+    h = tnn.conv2d_reflect(h, p["w"], p.get("b"))
+    return tnn.tanh(h)

@@ -65,6 +65,36 @@ def quantize_resblock(blk: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
     return {"w1q": w1q, "w2q": w2q, "sb": sb}
 
 
+def quantize_resblock_bn(blk: Dict[str, Any], stats_blk: Dict[str, Any],
+                         eps: float = 1e-5) -> Dict[str, jnp.ndarray]:
+    """Quantize a BatchNorm ``ResnetBlock`` subtree with the norm FOLDED.
+
+    Inference-time BatchNorm is a fixed per-channel affine
+    ``y = (x − μ)·γ/√(σ²+ε) + β`` (running stats), so it folds into the
+    dequant scale and bias rows: the int8 kernels then run with ``bn=True``
+    (no IN reduction). ``blk`` carries conv1/conv2 + norm1/norm2 (gamma
+    stored as γ−1, ``models.pix2pixhd.NormLayer``); ``stats_blk`` the
+    matching ``batch_stats`` subtree (mean/var). Used by the multiscale
+    family whose reference default is BatchNorm (``networks.py:40`` vs
+    ``:278``)."""
+    w1q, s1 = _quantize_kernel_taps(blk["conv1"]["w"])
+    w2q, s2 = _quantize_kernel_taps(blk["conv2"]["w"])
+    cout = w1q.shape[-1]
+
+    def fold(s, conv, norm, stats):
+        g = jnp.asarray(norm["gamma"], jnp.float32) + 1.0
+        beta = jnp.asarray(norm["beta"], jnp.float32)
+        inv = g / jnp.sqrt(jnp.asarray(stats["var"], jnp.float32) + eps)
+        b = jnp.asarray(conv.get("b", jnp.zeros(cout)), jnp.float32)
+        return s * inv, (b - jnp.asarray(stats["mean"], jnp.float32)) * inv \
+            + beta
+
+    sc1, bias1 = fold(s1, blk["conv1"], blk["norm1"], stats_blk["norm1"])
+    sc2, bias2 = fold(s2, blk["conv2"], blk["norm2"], stats_blk["norm2"])
+    sb = jnp.stack([sc1, bias1, sc2, bias2], axis=0)
+    return {"w1q": w1q, "w2q": w2q, "sb": sb}
+
+
 def quantize_act(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-image symmetric int8: (B,H,W,C) → ((B,H,W,C) int8, (B,1) scale)."""
     absmax = jnp.maximum(
@@ -175,27 +205,32 @@ def _quant_vmem(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _resblock_int8_bf16io_kernel(h_ref, w1_ref, w2_ref, sb_ref, out_ref, *,
-                                 h: int, w: int, c: int, eps: float):
+                                 h: int, w: int, c: int, eps: float,
+                                 bn: bool = False):
+    # bn=True: the norm is a BatchNorm running-stats AFFINE already folded
+    # into the sb scale/bias rows (quantize_resblock_bn) — no IN reduction.
     hw = h * w
     hf = h_ref[0].astype(jnp.float32)                  # (h, w, c)
     hq2d, x_scale = _quant_vmem(hf.reshape(hw, c))
     xp = _reflect_pad1(hq2d.reshape(h, w, c), h, w)
     f = _conv9_int8(xp, w1_ref, h, w, c, c).astype(jnp.float32)
     f = f * (x_scale * sb_ref[0][None, :]) + sb_ref[1][None, :]
-    r = jnp.maximum(_inorm(f, hw, eps), 0.0)
+    r = jnp.maximum(f if bn else _inorm(f, hw, eps), 0.0)
     rq, r_scale = _quant_vmem(r)
     rp = _reflect_pad1(rq.reshape(h, w, c), h, w)
     f2 = _conv9_int8(rp, w2_ref, h, w, c, c).astype(jnp.float32)
     f2 = f2 * (r_scale * sb_ref[2][None, :]) + sb_ref[3][None, :]
-    hnew = _inorm(f2, hw, eps) + hf.reshape(hw, c)     # full-precision skip
+    hnew = (f2 if bn else _inorm(f2, hw, eps)) \
+        + hf.reshape(hw, c)                            # full-precision skip
     out_ref[0] = hnew.reshape(h, w, c).astype(out_ref.dtype)
 
 
 def _run_resblock_int8_bf16io(hx: jnp.ndarray, qblk: Dict[str, jnp.ndarray],
-                              eps: float = _EPS, interpret: bool = False):
+                              eps: float = _EPS, interpret: bool = False,
+                              bn: bool = False):
     n, h, w, c = hx.shape
     kernel = functools.partial(_resblock_int8_bf16io_kernel, h=h, w=w, c=c,
-                               eps=eps)
+                               eps=eps, bn=bn)
     a_spec = pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                           memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((9, c, c), lambda i: (0, 0, 0),
@@ -216,7 +251,7 @@ def _run_resblock_int8_bf16io(hx: jnp.ndarray, qblk: Dict[str, jnp.ndarray],
     )(hx, qblk["w1q"], qblk["w2q"], qblk["sb"])
 
 
-def _resblock_int8_bf16io_emulate(hx, qblk, eps=_EPS):
+def _resblock_int8_bf16io_emulate(hx, qblk, eps=_EPS, bn=False):
     n, h, w, c = hx.shape
     hw = h * w
 
@@ -250,18 +285,20 @@ def _resblock_int8_bf16io_emulate(hx, qblk, eps=_EPS):
     hq, x_scale = quant(hf)
     f = conv9(hq.reshape(n, h, w, c), qblk["w1q"]).astype(jnp.float32)
     f = f * (x_scale * sb[0][None, None, :]) + sb[1][None, None, :]
-    r = jnp.maximum(inorm(f), 0.0)
+    r = jnp.maximum(f if bn else inorm(f), 0.0)
     rq, r_scale = quant(r)
     f2 = conv9(rq.reshape(n, h, w, c), qblk["w2q"]).astype(jnp.float32)
     f2 = f2 * (r_scale * sb[2][None, None, :]) + sb[3][None, None, :]
-    return (inorm(f2) + hf).reshape(n, h, w, c).astype(hx.dtype)
+    return ((f2 if bn else inorm(f2)) + hf).reshape(n, h, w, c) \
+        .astype(hx.dtype)
 
 
 def resblock_chain_int8_bf16io(x: jnp.ndarray,
                                qblocks: Sequence[Dict[str, Any]],
                                eps: float = _EPS, interpret: bool = False,
                                force_emulate: bool = False,
-                               expect_kernel: bool = False) -> jnp.ndarray:
+                               expect_kernel: bool = False,
+                               bn: bool = False) -> jnp.ndarray:
     """Res-block chain with int8 MXU convs and a full-precision carrier.
 
     Preferred over :func:`resblock_chain_int8` for fidelity: only the conv
@@ -279,9 +316,9 @@ def resblock_chain_int8_bf16io(x: jnp.ndarray,
     hx = x
     for qblk in qblocks:
         if use_kernel:
-            hx = _run_resblock_int8_bf16io(hx, qblk, eps, interpret)
+            hx = _run_resblock_int8_bf16io(hx, qblk, eps, interpret, bn=bn)
         else:
-            hx = _resblock_int8_bf16io_emulate(hx, qblk, eps)
+            hx = _resblock_int8_bf16io_emulate(hx, qblk, eps, bn=bn)
     return hx
 
 
@@ -415,7 +452,8 @@ def quantize_global_trunk(params: Dict[str, Any],
 # per-tensor scale, so fidelity is equal or better.
 # --------------------------------------------------------------------------- #
 def _resblock_a_kernel(hq_ref, hs_ref, w1_ref, sb_ref, rq_ref, rs_ref, *,
-                       h: int, w: int, c: int, ct: int, eps: float):
+                       h: int, w: int, c: int, ct: int, eps: float,
+                       bn: bool = False):
     # scalar refs are (1,1,1)-blocked over (n·t,1,1) arrays — Mosaic requires
     # the last two block dims to equal the array's (or be 8/128-multiples)
     hw = h * w
@@ -423,14 +461,15 @@ def _resblock_a_kernel(hq_ref, hs_ref, w1_ref, sb_ref, rq_ref, rs_ref, *,
     xp = _reflect_pad1(hq_ref[0], h, w)
     f = _conv9_int8(xp, w1_ref, h, w, c, ct).astype(jnp.float32)
     f = f * (x_scale * sb_ref[0][None, :]) + sb_ref[1][None, :]
-    r = jnp.maximum(_inorm(f, hw, eps), 0.0)
+    r = jnp.maximum(f if bn else _inorm(f, hw, eps), 0.0)
     rq, r_scale = _quant_vmem(r)
     rs_ref[0, 0, 0] = r_scale
     rq_ref[0] = rq.reshape(h, w, ct)
 
 
 def _resblock_b_kernel(rq_ref, rs_ref, w2_ref, sb_ref, hx_ref, out_ref, *,
-                       h: int, w: int, c: int, ct: int, eps: float):
+                       h: int, w: int, c: int, ct: int, eps: float,
+                       bn: bool = False):
     hw = h * w
     n_groups = c // ct
     rp = _reflect_pad1(rq_ref[0], h, w)
@@ -445,13 +484,15 @@ def _resblock_b_kernel(rq_ref, rs_ref, w2_ref, sb_ref, hx_ref, out_ref, *,
                                 preferred_element_type=jnp.int32)
         f = f + acc.astype(jnp.float32) * rs_ref[g, 0, 0]
     f = f * sb_ref[2][None, :] + sb_ref[3][None, :]
-    hnew = _inorm(f, hw, eps) + hx_ref[0].astype(jnp.float32).reshape(hw, ct)
+    hnew = (f if bn else _inorm(f, hw, eps)) \
+        + hx_ref[0].astype(jnp.float32).reshape(hw, ct)
     out_ref[0] = hnew.reshape(h, w, ct).astype(out_ref.dtype)
 
 
 def _run_resblock_int8_tiled(hx: jnp.ndarray, qblk: Dict[str, jnp.ndarray],
                              ct: int, eps: float = _EPS,
-                             interpret: bool = False) -> jnp.ndarray:
+                             interpret: bool = False,
+                             bn: bool = False) -> jnp.ndarray:
     n, h, w, c = hx.shape
     t = c // ct
     hq, hs = quantize_act(hx)
@@ -475,7 +516,8 @@ def _run_resblock_int8_tiled(hx: jnp.ndarray, qblk: Dict[str, jnp.ndarray],
 
     flops_half = 2 * n * h * w * 9 * c * c
     rq, rs = pl.pallas_call(
-        functools.partial(_resblock_a_kernel, h=h, w=w, c=c, ct=ct, eps=eps),
+        functools.partial(_resblock_a_kernel, h=h, w=w, c=c, ct=ct, eps=eps,
+                          bn=bn),
         grid=(n, t),
         in_specs=[img_spec, s_img, w_tile, sb_tile],
         out_specs=(tile_spec, s_tile),
@@ -487,7 +529,8 @@ def _run_resblock_int8_tiled(hx: jnp.ndarray, qblk: Dict[str, jnp.ndarray],
         interpret=interpret,
     )(hq, hs.reshape(n, 1, 1), qblk["w1q"], qblk["sb"])
     out = pl.pallas_call(
-        functools.partial(_resblock_b_kernel, h=h, w=w, c=c, ct=ct, eps=eps),
+        functools.partial(_resblock_b_kernel, h=h, w=w, c=c, ct=ct, eps=eps,
+                          bn=bn),
         grid=(n, t),
         in_specs=[img_spec, s_row, w_tile, sb_tile, tile_spec],
         out_specs=tile_spec,
@@ -501,7 +544,7 @@ def _run_resblock_int8_tiled(hx: jnp.ndarray, qblk: Dict[str, jnp.ndarray],
     return out
 
 
-def _resblock_int8_tiled_emulate(hx, qblk, ct, eps=_EPS):
+def _resblock_int8_tiled_emulate(hx, qblk, ct, eps=_EPS, bn=False):
     """XLA emulation with identical per-tile math (CPU / parity tests)."""
     n, h, w, c = hx.shape
     hw, t = h * w, c // ct
@@ -527,7 +570,7 @@ def _resblock_int8_tiled_emulate(hx, qblk, ct, eps=_EPS):
     sb = qblk["sb"]
     f = conv9(hq, qblk["w1q"]).astype(jnp.float32)
     f = f * (hs[:, :, None] * sb[0][None, None, :]) + sb[1][None, None, :]
-    r = jnp.maximum(inorm(f), 0.0)                      # (n, hw, c)
+    r = jnp.maximum(f if bn else inorm(f), 0.0)         # (n, hw, c)
     # per-tile quantization (matches kernel A's per-(image, tile) scales)
     rt = r.reshape(n, hw, t, ct)
     rmax = jnp.maximum(jnp.max(jnp.abs(rt), axis=(1, 3), keepdims=True), 1e-6)
@@ -548,7 +591,8 @@ def _resblock_int8_tiled_emulate(hx, qblk, ct, eps=_EPS):
         scale_g = (rmax[:, :, g, :] / 127.0)            # (n, 1, 1)
         f2 = f2 + acc.astype(jnp.float32) * scale_g
     f2 = f2 * sb[2][None, None, :] + sb[3][None, None, :]
-    hnew = inorm(f2) + hx.astype(jnp.float32).reshape(n, hw, c)
+    hnew = (f2 if bn else inorm(f2)) \
+        + hx.astype(jnp.float32).reshape(n, hw, c)
     return hnew.reshape(n, h, w, c).astype(hx.dtype)
 
 
@@ -584,7 +628,8 @@ def resblock_chain_int8_tiled(x: jnp.ndarray,
                               eps: float = _EPS,
                               interpret: bool = False,
                               force_emulate: bool = False,
-                              expect_kernel: bool = False) -> jnp.ndarray:
+                              expect_kernel: bool = False,
+                              bn: bool = False) -> jnp.ndarray:
     """Cout-tiled int8 res-block chain (full-precision carrier).
 
     For trunks too large for the whole-image kernel (weights per block
@@ -626,9 +671,10 @@ def resblock_chain_int8_tiled(x: jnp.ndarray,
     hx = x
     for qblk in qblocks:
         if use_kernel:
-            hx = _run_resblock_int8_tiled(hx, qblk, cout_tile, eps, interpret)
+            hx = _run_resblock_int8_tiled(hx, qblk, cout_tile, eps, interpret,
+                                          bn=bn)
         else:
-            hx = _resblock_int8_tiled_emulate(hx, qblk, cout_tile, eps)
+            hx = _resblock_int8_tiled_emulate(hx, qblk, cout_tile, eps, bn=bn)
     return hx
 
 
@@ -834,3 +880,186 @@ def msrb_block_int8(x: jnp.ndarray, qblk: Dict[str, jnp.ndarray],
     out = jnp.einsum("nhwi,io->nhwo", cat2, qblk["w1x1"][0, 0]) \
         + qblk["b1x1"][None, None, None]
     return out.astype(x.dtype)
+
+
+# --------------------------------------------------------------------------- #
+# Atrous residual block int8 kernel — CycleGAN's DEFAULT generator family
+# (``bilinear_content``: GeneratorMultiscaleBilinear, CycleGAN/models.py:
+# 547-624, res trunk = ResidualBlock_atrous :533-545). One block is four
+# parallel dilated 3x3 conv branches (rates 2/4/6/8, zero pad = rate) each
+# followed by IN+ReLU and summed, then a reflect-pad 3x3 conv + IN + skip.
+# A dilated conv is the same 9 shifted (hw, cin)x(cin, cout) MXU matmuls as
+# the dense kernel, with tap offsets scaled by the rate over a zero-padded
+# copy — so one whole-image kernel runs the entire block: 45 int8 matmuls,
+# five IN epilogues, one VMEM-resident requantization, full-precision
+# (bf16/fp32) carrier for the skip path.
+# --------------------------------------------------------------------------- #
+def quantize_atrous_resblock(blk: Dict[str, Any],
+                             rates: Tuple[int, ...] = (2, 4, 6, 8)
+                             ) -> Dict[str, jnp.ndarray]:
+    """Quantize one ``ResidualBlockAtrous`` param subtree
+    (``atrous/b{i}_conv`` branches + the ``conv`` reflect conv)."""
+    wqs, rows = [], []
+    c = None
+    for i in range(len(rates)):
+        wq, s = _quantize_kernel_taps(blk["atrous"][f"b{i}_conv"]["w"])
+        c = wq.shape[-1]
+        b = jnp.asarray(blk["atrous"][f"b{i}_conv"].get("b", jnp.zeros(c)),
+                        jnp.float32)
+        wqs.append(wq)
+        rows.extend([s, b])
+    wcq, sc = _quantize_kernel_taps(blk["conv"]["w"])
+    bc = jnp.asarray(blk["conv"].get("b", jnp.zeros(c)), jnp.float32)
+    rows.extend([sc, bc])
+    return {"wbq": jnp.stack(wqs, axis=0),            # (R, 9, c, c) int8
+            "wcq": wcq,                               # (9, c, c) int8
+            "sb": jnp.stack(rows, axis=0),            # (2R+2, c) fp32
+            "rates": jnp.asarray(rates, jnp.int32)}   # bookkeeping only
+
+
+def atrous_block_fits(h: int, w: int, c: int, max_rate: int = 8) -> bool:
+    """VMEM model for the whole-image atrous block kernel: fp32 carrier +
+    int8 copy + one padded branch copy + two fp32 working sets + the branch
+    sum, plus all five weight matrices."""
+    pad_elems = (h + 2 * max_rate) * (w + 2 * max_rate) * c
+    return (h * w * c * 14 + pad_elems + 5 * 9 * c * c + 32 * c
+            <= 13 * 1024 * 1024) and h > 2 * max_rate and w > 2 * max_rate
+
+
+def _atrous_resblock_int8_kernel(h_ref, wb_ref, wc_ref, sb_ref, out_ref, *,
+                                 h: int, w: int, c: int,
+                                 rates: Tuple[int, ...], eps: float):
+    hw = h * w
+    hf = h_ref[0].astype(jnp.float32)                  # (h, w, c)
+    hq2d, x_scale = _quant_vmem(hf.reshape(hw, c))
+    hq = hq2d.reshape(h, w, c)
+    ssum = jnp.zeros((hw, c), jnp.float32)
+    for bi, r in enumerate(rates):
+        xp = _zero_pad2d(hq, h, w, r)
+        acc = jnp.zeros((hw, c), jnp.int32)
+        for k in range(9):
+            dy, dx = (k // 3) * r, (k % 3) * r
+            patch = xp[dy:dy + h, dx:dx + w, :].reshape(hw, c)
+            acc = acc + jnp.dot(patch, wb_ref[bi, k],
+                                preferred_element_type=jnp.int32)
+        f = acc.astype(jnp.float32) * (x_scale * sb_ref[2 * bi][None, :]) \
+            + sb_ref[2 * bi + 1][None, :]
+        ssum = ssum + jnp.maximum(_inorm(f, hw, eps), 0.0)
+    sq, s_scale = _quant_vmem(ssum)
+    sp = _reflect_pad1(sq.reshape(h, w, c), h, w)
+    nb = 2 * len(rates)
+    f2 = _conv9_int8(sp, wc_ref, h, w, c, c).astype(jnp.float32)
+    f2 = f2 * (s_scale * sb_ref[nb][None, :]) + sb_ref[nb + 1][None, :]
+    hnew = _inorm(f2, hw, eps) + hf.reshape(hw, c)     # full-precision skip
+    out_ref[0] = hnew.reshape(h, w, c).astype(out_ref.dtype)
+
+
+def _run_atrous_resblock_int8(hx: jnp.ndarray, qblk: Dict[str, jnp.ndarray],
+                              rates: Tuple[int, ...], eps: float = _EPS,
+                              interpret: bool = False):
+    n, h, w, c = hx.shape
+    nr = len(rates)
+    kernel = functools.partial(_atrous_resblock_int8_kernel, h=h, w=w, c=c,
+                               rates=rates, eps=eps)
+    a_spec = pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    wb_spec = pl.BlockSpec((nr, 9, c, c), lambda i: (0, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    wc_spec = pl.BlockSpec((9, c, c), lambda i: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    sb_spec = pl.BlockSpec((2 * nr + 2, c), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[a_spec, wb_spec, wc_spec, sb_spec],
+        out_specs=a_spec,
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c), hx.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w * 9 * c * c * (nr + 1),
+            bytes_accessed=2 * n * h * w * c * hx.dtype.itemsize
+            + (nr + 1) * 9 * c * c,
+            transcendentals=0),
+        interpret=interpret,
+    )(hx, qblk["wbq"], qblk["wcq"], qblk["sb"])
+
+
+def _atrous_resblock_int8_emulate(hx, qblk, rates, eps=_EPS):
+    """Identical int8 math via XLA (CPU tests / oversized blocks)."""
+    n, h, w, c = hx.shape
+    hw = h * w
+
+    def conv9_dilated(xq, wq, r):
+        xp = jnp.pad(xq, ((0, 0), (r, r), (r, r), (0, 0)))
+        acc = jnp.zeros((n, hw, c), jnp.int32)
+        for k in range(9):
+            dy, dx = (k // 3) * r, (k % 3) * r
+            patch = xp[:, dy:dy + h, dx:dx + w, :].reshape(n, hw, c)
+            acc = acc + jnp.einsum("npi,io->npo", patch.astype(jnp.int32),
+                                   wq[k].astype(jnp.int32))
+        return acc
+
+    def inorm(f):
+        mean = jnp.mean(f, axis=1, keepdims=True)
+        var = jnp.maximum(jnp.mean(f * f, axis=1, keepdims=True)
+                          - mean * mean, 0.0)
+        return (f - mean) * jax.lax.rsqrt(var + eps)
+
+    def quant(x):
+        amax = jnp.maximum(jnp.max(jnp.abs(x), axis=(1, 2), keepdims=True),
+                           1e-6)
+        xq = jnp.clip(jnp.round(x * (127.0 / amax)), -127, 127) \
+            .astype(jnp.int8)
+        return xq, amax / 127.0
+
+    sb = qblk["sb"]
+    hf = hx.astype(jnp.float32).reshape(n, hw, c)
+    hq, x_scale = quant(hf)
+    hq4 = hq.reshape(n, h, w, c)
+    ssum = jnp.zeros((n, hw, c), jnp.float32)
+    for bi, r in enumerate(rates):
+        f = conv9_dilated(hq4, qblk["wbq"][bi], r).astype(jnp.float32)
+        f = f * (x_scale * sb[2 * bi][None, None, :]) \
+            + sb[2 * bi + 1][None, None, :]
+        ssum = ssum + jnp.maximum(inorm(f), 0.0)
+    sq, s_scale = quant(ssum)
+    sq4 = jnp.pad(sq.reshape(n, h, w, c),
+                  ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    acc = jnp.zeros((n, hw, c), jnp.int32)
+    for k in range(9):
+        dy, dx = k // 3, k % 3
+        patch = sq4[:, dy:dy + h, dx:dx + w, :].reshape(n, hw, c)
+        acc = acc + jnp.einsum("npi,io->npo", patch.astype(jnp.int32),
+                               qblk["wcq"][k].astype(jnp.int32))
+    nb = 2 * len(rates)
+    f2 = acc.astype(jnp.float32) * (s_scale * sb[nb][None, None, :]) \
+        + sb[nb + 1][None, None, :]
+    return (inorm(f2) + hf).reshape(n, h, w, c).astype(hx.dtype)
+
+
+def atrous_resblock_chain_int8(x: jnp.ndarray,
+                               qblocks: Sequence[Dict[str, Any]],
+                               rates: Tuple[int, ...] = (2, 4, 6, 8),
+                               eps: float = _EPS, interpret: bool = False,
+                               force_emulate: bool = False,
+                               expect_kernel: bool = False) -> jnp.ndarray:
+    """Atrous res-block chain with int8 MXU convs, full-precision carrier.
+
+    The int8 tier for CycleGAN's default ``bilinear_content`` trunk — the
+    family the reference's TRT int8 engine would build from any ONNX
+    (``p2pHD/run_engine.py:160-165``); VERDICT r3 #3."""
+    n, h, w, c = x.shape
+    use_kernel = (interpret or _on_tpu()) and not force_emulate \
+        and atrous_block_fits(h, w, c, max(rates))
+    if not force_emulate:
+        _check_kernel_path(
+            "atrous_resblock_chain_int8", use_kernel, expect_kernel,
+            "not on TPU" if not (interpret or _on_tpu())
+            else f"block ({h}x{w}x{c}) exceeds the whole-image VMEM budget")
+    hx = x
+    for qblk in qblocks:
+        if use_kernel:
+            hx = _run_atrous_resblock_int8(hx, qblk, rates, eps, interpret)
+        else:
+            hx = _atrous_resblock_int8_emulate(hx, qblk, rates, eps)
+    return hx

@@ -52,12 +52,41 @@ def test_p2phd_int8_matches_bf16_golden(p2p_engine):
 def test_p2phd_int8_unsupported_family_raises():
     from cistar_tpu.engines.p2phd import Pix2PixHD
 
-    eng = Pix2PixHD(net_g="multiscale", input_nc=1, output_nc=1, label_nc=0,
+    eng = Pix2PixHD(net_g="encoder", input_nc=1, output_nc=1, label_nc=0,
                     ngf=8, n_downsample_global=2, n_blocks_global=1,
                     r2l=True, image_size=32, compute_dtype=jnp.float32)
     state = eng.init_state(jax.random.PRNGKey(0), image_size=32)
-    with pytest.raises(NotImplementedError, match="multiscale"):
+    with pytest.raises(NotImplementedError, match="encoder"):
         eng.quantize_generator(state.g)
+
+
+def test_p2phd_int8_multiscale_golden():
+    """The multiscale family now has an int8 engine (VERDICT r3: it was a
+    refused family). It is ALWAYS BatchNorm (define_G quirk), so the tier
+    folds the running-stats affine into the quantized scales."""
+    from cistar_tpu.engines.p2phd import Pix2PixHD
+
+    eng = Pix2PixHD(net_g="multiscale", input_nc=1, output_nc=1, label_nc=0,
+                    ngf=4, n_blocks_global=2, no_instance=True, r2l=True,
+                    image_size=64, compute_dtype=jnp.float32)
+    state = eng.init_state(jax.random.PRNGKey(0), image_size=64)
+    assert state.g_stats is not None  # BatchNorm family carries stats
+    # non-trivial running stats so the fold actually gets exercised
+    rng = np.random.RandomState(6)
+    g_stats = jax.tree.map(
+        lambda s: jnp.asarray(np.abs(rng.rand(*s.shape)) + 0.5,
+                              jnp.float32), state.g_stats)
+    label = jnp.asarray(np.random.RandomState(5)
+                        .rand(2, 64, 64, 1).astype(np.float32) * 2 - 1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        with pytest.raises(ValueError, match="batch_stats"):
+            eng.quantize_generator(state.g)  # stats are required
+        q = eng.quantize_generator(state.g, g_stats=g_stats)
+        y_int8 = eng.infer_step_int8(state.g, q, label, g_stats=g_stats)
+    y_ref = eng.infer_step(state.g, label, g_stats=g_stats)
+    assert y_int8.shape == y_ref.shape
+    assert _max_err(y_int8, y_ref) < 0.3, _max_err(y_int8, y_ref)
 
 
 def test_p2phd_int8_aot_round_trip(p2p_engine, tmp_path):
@@ -140,3 +169,28 @@ def test_p2phd_int8_batchnorm_family_raises():
                     compute_dtype=jnp.float32)
     with pytest.raises(NotImplementedError, match="instance norm"):
         eng.quantize_generator({})  # norm gate fires before params are read
+
+
+@pytest.mark.parametrize("gen_type,dense", [("bilinear_content", True),
+                                            ("atrous_content", True),
+                                            ("atrous_content", False)])
+def test_cyclegan_int8_remaining_families_golden(gen_type, dense):
+    """VERDICT r3 #3: the int8 tier must cover the CLI-default
+    bilinear_content family and the atrous(+dense) family, not just p2p*."""
+    from cistar_tpu.engines.cyclegan import CycleGAN
+
+    eng = CycleGAN(gen_type=gen_type, input_nc=1, output_nc=1, in_features=8,
+                   n_residual_blocks=2, dense_decoder=dense, image_size=64,
+                   batch_size=2, compute_dtype=jnp.float32)
+    state = eng.init_state(jax.random.PRNGKey(0), image_size=64)
+    rng = np.random.RandomState(4)
+    a = jnp.asarray(rng.rand(2, 64, 64, 1).astype(np.float32) * 2 - 1)
+    b = jnp.asarray(rng.rand(2, 64, 64, 1).astype(np.float32) * 2 - 1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        q_a2b, q_b2a = eng.quantize_generators(state)
+        fb_q, fa_q, rb_q = eng.infer_step_int8(state, q_a2b, q_b2a, (a, b))
+    fb, fa, rb = eng.infer_step(state, a, b)
+    for got, ref in ((fb_q, fb), (fa_q, fa), (rb_q, rb)):
+        assert got.shape == ref.shape
+        assert _max_err(got, ref) < 0.3, (gen_type, dense, _max_err(got, ref))

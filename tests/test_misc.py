@@ -279,3 +279,30 @@ def test_metrics_csv_header_union_on_key_change(tmp_path):
     assert lines[0] == "epoch,loss_a,loss_b"
     assert lines[1].startswith("0,1.000000,")   # padded old row
     assert lines[2] == "1,2.000000,3.000000"
+
+
+def test_exec_cache_compile_round_trip(tmp_path, capsys):
+    """Disk-backed executable cache (VERDICT r3 #5): first call compiles and
+    serializes, second call loads the executable without compiling, results
+    identical; arg-shape changes miss the cache."""
+    import jax
+    import jax.numpy as jnp
+
+    from cistar_tpu.core.cache import exec_cache_compile
+
+    @jax.jit
+    def f(x, y):
+        return jnp.tanh(x @ y) * 2.0
+
+    x = jnp.ones((64, 64), jnp.float32) * 0.1
+    d = str(tmp_path / "exe")
+    c1 = exec_cache_compile(f, (x, x), key="t", cache_dir=d)
+    out1 = c1(x, x)
+    assert "saved compiled step" in capsys.readouterr().out
+    c2 = exec_cache_compile(f, (x, x), key="t", cache_dir=d)
+    assert "loaded pre-compiled step" in capsys.readouterr().out
+    np.testing.assert_array_equal(np.asarray(c2(x, x)), np.asarray(out1))
+    # different shape -> different entry (no false hit)
+    y = jnp.ones((32, 32), jnp.float32)
+    exec_cache_compile(f, (y, y), key="t", cache_dir=d)
+    assert "saved compiled step" in capsys.readouterr().out

@@ -305,3 +305,57 @@ def test_tiled_chain_emulation_ignores_vmem_budget(monkeypatch):
     q = [qp.quantize_resblock(blk)]
     out = qp.resblock_chain_int8_tiled(x, q)  # C=8: falls back to ct=C
     assert out.shape == x.shape
+
+
+def test_atrous_int8_kernel_matches_emulation():
+    """Whole-image atrous res-block kernel (interpret mode) ≡ XLA emulation,
+    and the emulation tracks the fp32 block within quantization noise."""
+    from cistar_tpu.ops.blocks import ResidualBlockAtrous
+    from cistar_tpu.ops.quant_pallas import (_atrous_resblock_int8_emulate,
+                                             _run_atrous_resblock_int8,
+                                             quantize_atrous_resblock)
+
+    c, h, w = 32, 24, 24  # > 2*max_rate so every dilated tap is in range
+    mod = ResidualBlockAtrous(c)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, h, w, c).astype(np.float32) * 0.5)
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    q = quantize_atrous_resblock(params)
+
+    y_kernel = _run_atrous_resblock_int8(x, q, (2, 4, 6, 8), interpret=True)
+    y_emul = _atrous_resblock_int8_emulate(x, q, (2, 4, 6, 8))
+    np.testing.assert_allclose(np.asarray(y_kernel), np.asarray(y_emul),
+                               rtol=1e-4, atol=1e-4)
+
+    y_ref = mod.apply({"params": params}, x)
+    err = float(jnp.max(jnp.abs(y_emul - y_ref)))
+    assert err < 0.25, err
+
+
+def test_bn_folded_resblock_matches_batchnorm_reference():
+    """bn=True chains (folded BatchNorm affine) ≡ the BatchNorm ResnetBlock
+    in eval mode — kernel (interpret), emulation, and fp32 reference."""
+    from cistar_tpu.models.pix2pixhd import ResnetBlock
+    from cistar_tpu.ops.quant_pallas import (_resblock_int8_bf16io_emulate,
+                                             _run_resblock_int8_bf16io,
+                                             quantize_resblock_bn)
+
+    c = 128
+    mod = ResnetBlock(c, norm="batch")
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(2, 16, 16, c).astype(np.float32) * 0.5)
+    v = mod.init(jax.random.PRNGKey(1), x, train=False)
+    params = dict(v["params"])
+    stats = jax.tree.map(
+        lambda s: jnp.asarray(np.abs(rng.rand(*s.shape)) + 0.5, jnp.float32),
+        dict(v["batch_stats"]))
+    q = quantize_resblock_bn(params, stats)
+
+    y_ref = mod.apply({"params": params, "batch_stats": stats}, x,
+                      train=False)
+    y_emul = _resblock_int8_bf16io_emulate(x, q, bn=True)
+    y_kern = _run_resblock_int8_bf16io(x, q, interpret=True, bn=True)
+    np.testing.assert_allclose(np.asarray(y_kern), np.asarray(y_emul),
+                               rtol=1e-4, atol=1e-4)
+    err = float(jnp.max(jnp.abs(y_emul - y_ref)))
+    assert err < 0.25, err
