@@ -43,6 +43,12 @@ class BaseOptions:
                             "CISTAR_COMPILE_TIMEOUT); heavy configs (512^2 "
                             "UNet-MSRB train, 1024^2 global+local) can "
                             "legitimately take tens of minutes")
+        p.add_argument("--spatial_shard", action="store_true",
+                       help="shard the generator's H axis over ALL devices "
+                            "(halo-exchange convs + psum instance norm, "
+                            "parallel/spatial_models) — for 1024^2+ configs "
+                            "whose activations exceed one chip's HBM; "
+                            "instance-norm global/local/UNet only")
 
         # input/output sizes
         p.add_argument("--batchSize", type=int, default=1)
@@ -129,7 +135,8 @@ class BaseOptions:
             # from a reference-written opt.txt would silently move training
             # off the TPU (and gpu_ids/nThreads are equally non-portable)
             env_keys = {"platform", "gpu_ids", "nThreads", "local_rank",
-                        "checkpoints_dir", "dataroot", "compile_timeout"}
+                        "checkpoints_dir", "dataroot", "compile_timeout",
+                        "spatial_shard"}
             for k, v in legacy.items():
                 if hasattr(opt, k) and k not in provided and k not in env_keys:
                     if v == "inf":

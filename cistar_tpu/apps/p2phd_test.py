@@ -35,7 +35,20 @@ def main(argv=None):
     from cistar_tpu.utils.metrics import HTMLGallery
 
     size = opt.r2l_res if opt.r2l else opt.fineSize
+    spatial_mesh = None
+    if opt.spatial_shard:
+        import numpy as _np
+        from jax.sharding import Mesh as _Mesh
+
+        devs = _np.asarray(jax.devices())
+        spatial_mesh = _Mesh(devs, ("spatial",))
+        if opt.data_type == 8:
+            raise SystemExit("--spatial_shard and --data_type 8 are separate "
+                             "tiers (the int8 kernels run whole-image)")
+        print(f"spatial sharding: generator H axis split over "
+              f"{devs.size} device(s) (halo-exchange convs, psum IN)")
     engine = Pix2PixHD(
+        spatial_mesh=spatial_mesh,
         net_g=opt.netG, input_nc=opt.input_nc, output_nc=opt.output_nc,
         label_nc=opt.label_nc, ngf=opt.ngf,
         n_downsample_global=opt.n_downsample_global,

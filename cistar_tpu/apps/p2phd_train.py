@@ -68,7 +68,16 @@ def main(argv=None):
 
     size = opt.r2l_res if opt.r2l else opt.fineSize
     vgg_criterion = None if opt.no_vgg_loss else make_vgg_loss()
+    spatial_mesh = None
+    if opt.spatial_shard:
+        from jax.sharding import Mesh as _Mesh
+
+        devs = np.asarray(jax.devices())
+        spatial_mesh = _Mesh(devs, ("spatial",))
+        print(f"spatial sharding: generator H axis split over "
+              f"{devs.size} device(s) (halo-exchange convs, psum IN)")
     engine = Pix2PixHD(
+        spatial_mesh=spatial_mesh,
         net_g=opt.netG, input_nc=opt.input_nc, output_nc=opt.output_nc,
         label_nc=opt.label_nc, ngf=opt.ngf, ndf=opt.ndf,
         n_downsample_global=opt.n_downsample_global,
@@ -142,8 +151,13 @@ def main(argv=None):
             epoch=(state.epoch * 0 + (epoch - 1)).astype(jnp.int32))
         for batch in loader:
             arrs = {"label": batch["label"], "image": batch["image"]}
-            arrs, _ = pad_batch_to_multiple(arrs, n_dev)
-            dev = shard_batch(arrs, mesh)
+            if spatial_mesh is None:
+                arrs, _ = pad_batch_to_multiple(arrs, n_dev)
+                dev = shard_batch(arrs, mesh)
+            else:
+                # devices are spent on the SPATIAL axis; the batch stays
+                # whole and the G forward reshards H inside the step
+                dev = {k: jnp.asarray(v) for k, v in arrs.items()}
             if _cached_step is None:
                 # Disk-backed EXECUTABLE cache: on this backend the XLA
                 # persistent cache is unusable, so a fresh process repaid

@@ -105,6 +105,7 @@ class R2LTransfer:
                  d_loss_floor=0.2, image_size=512, compute_dtype=jnp.bfloat16):
         self.E = FeatureEncoder(ngf, n_downsampling, n_scale)  # shared arch
         self.G = TransferGenerator(output_nc, n_blocks, ngf, n_downsampling)
+        self.df_layers = df_layers
         self.DF = WDiscriminator(ngf=16, n_layer=df_layers, activate=True,
                                  flatten=False)
         self.DImg = define_d(ndf, n_layers_d, num_d=num_d, get_interm_feat=True)
@@ -165,7 +166,14 @@ class R2LTransfer:
         x = zeros_nhwc(size, 1)
         lidar_e = conv_init(self.E, r[0], x)["params"]
         feat = jax.jit(lambda p, v: self.E.apply({"params": p}, v))(lidar_e, x)
-        net_df = conv_init(self.DF, r[1], feat)["params"]
+        # The capped init input can make the FEATURE map smaller than the
+        # critic's 2^df_layers receptive stack (64-capped x → 4² features at
+        # n_downsampling=4, while the true 512² config feeds 32²). DF is
+        # fully conv, so init it at its own spatially-sufficient size —
+        # params are bit-identical regardless (core/initutil).
+        fs = max(feat.shape[1], 2 ** self.df_layers)
+        feat_ex = jnp.zeros((1, fs, fs, feat.shape[-1]), feat.dtype)
+        net_df = conv_init(self.DF, r[1], feat_ex)["params"]
         return R2LState(lidar_e=lidar_e, net_df=net_df,
                         opt_lidar_e=self.tx.init(lidar_e),
                         opt_df=self.tx.init(net_df),

@@ -100,6 +100,7 @@ class Pix2PixHD:
         nef: int = 16,
         n_downsample_e: int = 4,
         max_instances: int = 64,
+        spatial_mesh=None,
     ):
         # use_features / gen_features semantics: pix2pixHD_model.py:26-28
         self.use_features = instance_feat or label_feat
@@ -136,6 +137,17 @@ class Pix2PixHD:
         self.d_floor = d_loss_floor
         self.image_size = image_size
         self.cdt = compute_dtype
+        # spatial_mesh: a Mesh with a "spatial" axis — the generator forward
+        # (train AND inference) runs H-sharded via parallel.spatial_models
+        # (halo-exchange convs, psum instance norm); activations of the
+        # dominant G stream are then sharded across chips, the 1024²+ HBM
+        # relief of SURVEY §5. Instance-norm families only.
+        self.spatial_mesh = spatial_mesh
+        if spatial_mesh is not None:
+            if norm != "instance" or net_g not in ("global", "local", "UNet"):
+                raise NotImplementedError(
+                    "spatial sharding supports instance-norm global/local/"
+                    f"UNet generators (got netG={net_g!r}, norm={norm!r})")
         self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=lr,
                                                        b1=beta1, b2=0.999)
 
@@ -210,6 +222,27 @@ class Pix2PixHD:
     def _g_apply(self, params, x, stats=None, train=False):
         """Generator forward; BatchNorm families thread ``stats``
         (train=True additionally returns the updated running stats)."""
+        if self.spatial_mesh is not None and stats is None:
+            # H-sharded forward over the spatial mesh (halo-exchange convs,
+            # psum IN) — differentiable, so the TRAIN step's G grads flow
+            # through the same sharding; outputs are global arrays, the rest
+            # of the step (D, losses) is resharded by XLA automatically.
+            from cistar_tpu.parallel import spatial_models as sm
+
+            xs = x.astype(self.cdt)
+            if self.net_g == "global":
+                out = sm.global_generator_sharded_apply(
+                    params, xs, self.spatial_mesh,
+                    self.n_downsample_global, self.n_blocks_global)
+            elif self.net_g == "local":
+                out = sm.local_enhancer_sharded_apply(
+                    params, xs, self.spatial_mesh,
+                    self.n_downsample_global, self.n_blocks_global,
+                    self.n_local_enhancers, self.n_blocks_local)
+            else:  # "UNet" (guarded in __init__)
+                out = sm.unet_msrb_sharded_apply(
+                    params, xs, self.spatial_mesh, self.n_blocks_global)
+            return out.astype(jnp.float32)
         if stats is None:
             return self.G.apply({"params": params},
                                 x.astype(self.cdt)).astype(jnp.float32)

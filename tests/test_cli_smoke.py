@@ -86,6 +86,17 @@ def test_p2phd_train_and_test_cli(dataroot, tmp_path):
                         "--how_many", "1", "--data_type", "8"])
     assert os.path.exists(str(tmp_path / "results_int8" / "smoke"
                               / "test_latest" / "index.html"))
+    # spatial sharding tier (VERDICT r3 #7): G runs H-sharded over the
+    # 8-device CPU mesh from BOTH CLIs; train step + gallery must complete
+    common64 = [a if a != "32" else "64" for a in common]
+    train_main(common64 + ["--niter", "1", "--niter_decay", "0",
+                           "--batchSize", "2", "--print_freq", "10",
+                           "--spatial_shard", "--name", "smoke_sp"])
+    test_main(common64 + ["--results_dir", str(tmp_path / "results_sp"),
+                          "--how_many", "1", "--spatial_shard",
+                          "--name", "smoke_sp"])
+    assert os.path.exists(str(tmp_path / "results_sp" / "smoke_sp"
+                              / "test_latest" / "index.html"))
 
 
 def test_ist_main_cli(dataroot, tmp_path):

@@ -139,3 +139,19 @@ def test_loader_propagates_worker_exceptions():
     with pytest.raises(RuntimeError, match="decode failed"):
         for _ in loader:
             pass
+
+
+@pytest.mark.fast
+def test_r2ltransfer_init_at_shipped_config():
+    """init_state must work for the TRUE 512² config (df_layers=5): the
+    capped fast-init path feeds 4² features to a 5-layer critic unless the
+    critic is initialized at its own spatially-sufficient size (bug found
+    by the round-4 driven quality run)."""
+    import jax
+
+    from cistar_tpu.engines.extended import R2LTransfer
+
+    eng = R2LTransfer(ngf=8, n_downsampling=4, n_scale=3, n_blocks=1,
+                      df_layers=5, image_size=512)
+    state = eng.init_state(jax.random.PRNGKey(0), size=512)
+    assert state.net_df is not None

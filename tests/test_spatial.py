@@ -180,3 +180,40 @@ def test_sharded_unet_msrb_matches_single_device(rng, mesh):
     out = unet_msrb_sharded_apply(params, x, mesh, n_residual_blocks=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_spatial_sharded_train_step_matches_single_device(rng, mesh):
+    """The --spatial_shard product path (VERDICT r3 #7): a Pix2PixHD engine
+    whose G forward runs H-sharded trains to the SAME losses and params as
+    the unsharded engine — gradients flow through the halo exchanges and
+    psum'd instance norm."""
+    import optax
+
+    from cistar_tpu.engines.p2phd import Pix2PixHD
+
+    size = 64
+    kw = dict(net_g="global", ngf=4, ndf=8, n_downsample_global=2,
+              n_blocks_global=1, n_layers_d=2, num_d=2, image_size=size,
+              compute_dtype=jnp.float32)
+    base = Pix2PixHD(**kw)
+    shard = Pix2PixHD(spatial_mesh=mesh, **kw)
+    # SGD for bitwise-comparable updates (Adam's rsqrt amplifies 1e-7 noise)
+    for e in (base, shard):
+        e.tx = optax.inject_hyperparams(optax.sgd)(learning_rate=1e-3)
+
+    label = jnp.asarray(rng.randn(2, size, size, 1).astype(np.float32))
+    image = jnp.asarray(rng.randn(2, size, size, 1).astype(np.float32))
+    s0 = base.init_state(jax.random.PRNGKey(0), image_size=size)
+    s1 = shard.init_state(jax.random.PRNGKey(0), image_size=size)
+
+    sb, mb, _ = base.train_step(s0, label, None, image)
+    ss, ms, _ = shard.train_step(s1, label, None, image)
+    for k in mb:
+        assert abs(float(mb[k]) - float(ms[k])) < 1e-3, (k, mb[k], ms[k])
+    for (pa, pb) in zip(jax.tree.leaves(sb.g), jax.tree.leaves(ss.g)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=2e-5)
+
+    # inference path exactness (the p2phd_test --spatial_shard route)
+    y0 = base.infer_step(sb.g, label)
+    y1 = shard.infer_step(jax.tree.map(jnp.asarray, sb.g), label)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=5e-4)

@@ -71,7 +71,10 @@ def main(argv=None):
                     help="TransferP2P AE pretraining epochs per domain")
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--out", default="docs/quality_run_uda")
+    ap.add_argument("--phases", default="ae,critic,transfer",
+                    help="comma subset of ae,critic,transfer")
     args = ap.parse_args(argv)
+    phases = set(args.phases.split(","))
 
     import jax
     import jax.numpy as jnp
@@ -99,58 +102,68 @@ def main(argv=None):
     test_lidar = jnp.asarray(tb["lidar"][None])
 
     # ---- 1. R2LAE (shared encoder, two decoders, domain classifier) -------
-    d = os.path.join(args.out, "ae")
-    os.makedirs(d, exist_ok=True)
-    eng = R2LAE(size=args.size, n_downsample=3, ngf=16,
-                compute_dtype=jnp.bfloat16)
-    state = eng.init_state(jax.random.PRNGKey(0), size=args.size)
-    rows = []
-    t0 = time.time()
-    for epoch in range(args.epochs):
-        ep = {}
-        for batch in loader:
-            state, m, _ = eng.train_step(state, jnp.asarray(batch["radar"]),
-                                         jnp.asarray(batch["lidar"]))
-            for k, v in m.items():
-                ep.setdefault(k, []).append(float(v))
-        rows.append({"epoch": epoch,
-                     **{k: round(float(np.mean(v)), 5)
-                        for k, v in ep.items()}})
-        print(f"[ae] epoch {epoch}: " + ", ".join(
-            f"{k}={rows[-1][k]:.4f}" for k in sorted(ep)), flush=True)
-    _write_csv(os.path.join(d, "loss_log.csv"), rows)
-    outs = eng.infer(state, test_radar, test_lidar)
-    _save_strip(os.path.join(d, "cross_decode.png"),
-                [("real_radar", np.asarray(test_radar[0])),
-                 ("radar->lidarG", np.asarray(outs["lidar_gen"][0])),
-                 ("real_lidar", np.asarray(test_lidar[0])),
-                 ("lidar->radarG", np.asarray(outs["radar_gen"][0]))])
-    summary["ae"] = {"epochs": args.epochs, "final": rows[-1],
-                     "wall_s": round(time.time() - t0, 1)}
+    if "ae" in phases:
+        d = os.path.join(args.out, "ae")
+        os.makedirs(d, exist_ok=True)
+        eng = R2LAE(size=args.size, n_downsample=3, ngf=16,
+                    compute_dtype=jnp.bfloat16)
+        state = eng.init_state(jax.random.PRNGKey(0), size=args.size)
+        rows = []
+        t0 = time.time()
+        for epoch in range(args.epochs):
+            ep = {}
+            for batch in loader:
+                state, m, _ = eng.train_step(state,
+                                             jnp.asarray(batch["radar"]),
+                                             jnp.asarray(batch["lidar"]))
+                for k, v in m.items():
+                    ep.setdefault(k, []).append(float(v))
+            rows.append({"epoch": epoch,
+                         **{k: round(float(np.mean(v)), 5)
+                            for k, v in ep.items()}})
+            print(f"[ae] epoch {epoch}: " + ", ".join(
+                f"{k}={rows[-1][k]:.4f}" for k in sorted(ep)), flush=True)
+        _write_csv(os.path.join(d, "loss_log.csv"), rows)
+        outs = eng.infer(state, test_radar, test_lidar)
+        _save_strip(os.path.join(d, "cross_decode.png"),
+                    [("real_radar", np.asarray(test_radar[0])),
+                     ("radar->lidarG", np.asarray(outs["lidar_gen"][0])),
+                     ("real_lidar", np.asarray(test_lidar[0])),
+                     ("lidar->radarG", np.asarray(outs["radar_gen"][0]))])
+        summary["ae"] = {"epochs": args.epochs, "final": rows[-1],
+                         "wall_s": round(time.time() - t0, 1)}
 
     # ---- 2. R2LImageCritic (Wasserstein distance meter) -------------------
-    d = os.path.join(args.out, "critic")
-    os.makedirs(d, exist_ok=True)
-    critic = R2LImageCritic(compute_dtype=jnp.float32)
-    cstate = critic.init_state(jax.random.PRNGKey(1), size=args.size)
-    crows = []
-    t0 = time.time()
-    step = 0
-    for epoch in range(args.epochs):
-        for batch in loader:
-            cstate, m = critic.train_step(cstate,
-                                          jnp.asarray(batch["lidar"]),
-                                          jnp.asarray(batch["radar"]))
-            crows.append({"step": step,
-                          **{k: round(float(v), 5) for k, v in m.items()}})
-            step += 1
-        print(f"[critic] epoch {epoch}: w_distance="
-              f"{crows[-1]['w_distance']:.4f} (lidar_F-radar_F="
-              f"{crows[-1]['lidar_F'] - crows[-1]['radar_F']:.4f})",
-              flush=True)
-    _write_csv(os.path.join(d, "w_distance.csv"), crows)
-    summary["critic"] = {"steps": step, "final": crows[-1],
-                         "wall_s": round(time.time() - t0, 1)}
+    if "critic" in phases:
+        d = os.path.join(args.out, "critic")
+        os.makedirs(d, exist_ok=True)
+        critic = R2LImageCritic(compute_dtype=jnp.float32)
+        cstate = critic.init_state(jax.random.PRNGKey(1), size=args.size)
+        crows = []
+        t0 = time.time()
+        step = 0
+        for epoch in range(args.epochs):
+            for batch in loader:
+                cstate, m = critic.train_step(cstate,
+                                              jnp.asarray(batch["lidar"]),
+                                              jnp.asarray(batch["radar"]))
+                crows.append({"step": step,
+                              **{k: round(float(v), 5)
+                                 for k, v in m.items()}})
+                step += 1
+            print(f"[critic] epoch {epoch}: w_distance="
+                  f"{crows[-1]['w_distance']:.4f} (lidar_F-radar_F="
+                  f"{crows[-1]['lidar_F'] - crows[-1]['radar_F']:.4f})",
+                  flush=True)
+        _write_csv(os.path.join(d, "w_distance.csv"), crows)
+        summary["critic"] = {"steps": step, "final": crows[-1],
+                             "wall_s": round(time.time() - t0, 1)}
+
+    if "transfer" not in phases:
+        summary["total_wall_s"] = round(time.time() - t_all, 1)
+        _merge_summary(args.out, summary)
+        print(json.dumps(summary, indent=1), flush=True)
+        return
 
     # ---- 3. TransferP2P pretraining + R2LTransfer alignment ---------------
     d = os.path.join(args.out, "transfer")
@@ -189,7 +202,11 @@ def main(argv=None):
     _write_csv(os.path.join(d, "pretrain_radar.csv"), rrows)
     _write_csv(os.path.join(d, "pretrain_lidar.csv"), lrows)
 
+    # feature map is size/2^4; the critic needs 2^df_layers ≤ that (the
+    # reference's 5 layers assume 512² → 32² features)
+    df_layers = min(5, int(np.log2(max(2, args.size // 16))))
     teng = R2LTransfer(ngf=32, n_downsampling=4, n_scale=3, n_blocks=3,
+                       df_layers=df_layers,
                        image_size=args.size, compute_dtype=jnp.bfloat16)
     frozen = teng.frozen_from_checkpoints(
         jax.random.PRNGKey(4),
@@ -240,9 +257,22 @@ def main(argv=None):
                            "wall_s": round(time.time() - t0, 1)}
 
     summary["total_wall_s"] = round(time.time() - t_all, 1)
-    with open(os.path.join(args.out, "summary.json"), "w") as f:
-        json.dump(summary, f, indent=1)
+    _merge_summary(args.out, summary)
     print(json.dumps(summary, indent=1), flush=True)
+
+
+def _merge_summary(out_dir, summary):
+    """Phase-split runs merge into one summary.json."""
+    path = os.path.join(out_dir, "summary.json")
+    merged = {}
+    if os.path.exists(path):
+        try:
+            merged = json.load(open(path))
+        except Exception:
+            merged = {}
+    merged.update(summary)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
 
 
 if __name__ == "__main__":
