@@ -101,10 +101,12 @@ def main(argv=None):
         specs = (P(),) * len(extra) + (P("data"), P("data"))
         program = engine.make_sharded_infer(mesh, engine=args.engine)
         if args.export_engine:
-            zb = jnp.zeros((args.batchSize, args.size, args.size,
+            za = jnp.zeros((args.batchSize, args.size, args.size,
                             args.input_nc), jnp.float32)
+            zb = jnp.zeros((args.batchSize, args.size, args.size,
+                            args.output_nc), jnp.float32)
             nbytes = save_compiled_sharded(
-                program, extra + (zb, zb), args.export_engine)
+                program, extra + (za, zb), args.export_engine)
             print(f"exported {n_dev}-device {args.engine} inference program "
                   f"(batch {args.batchSize}, {args.size}^2) to "
                   f"{args.export_engine} ({nbytes} bytes)")

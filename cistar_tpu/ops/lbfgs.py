@@ -208,7 +208,7 @@ def lbfgs_minimize(
         # the s/y columns are the new Gram row+column at slot ``idx``.
         rhs = jnp.stack([s_row, y_row, g_new.astype(hd)], axis=1)
         prods = jnp.matmul(hist, rhs, precision=_PREC).astype(jnp.float32)
-        Ss_, Sy_, sg_new = prods[:m, 0], prods[:m, 1], prods[:m, 2]
+        Sy_, sg_new = prods[:m, 1], prods[:m, 2]   # (S·s is a free byproduct)
         Ys_, Yy_, yg_new = prods[m:, 0], prods[m:, 1], prods[m:, 2]
 
         # sy[i, j] = s_iᵀ y_j:  row idx ← s_newᵀ y_j = (Y·s_new)_j;

@@ -124,12 +124,33 @@ def main(argv=None):
             print(f"[ae] epoch {epoch}: " + ", ".join(
                 f"{k}={rows[-1][k]:.4f}" for k in sorted(ep)), flush=True)
         _write_csv(os.path.join(d, "loss_log.csv"), rows)
+        # R2LAE.infer returns the same-domain RECONSTRUCTIONS; the UDA
+        # cross-decodes swap decoders on the shared-encoder features
         outs = eng.infer(state, test_radar, test_lidar)
+
+        @jax.jit
+        def cross_decode(st, radar, lidar):
+            bs = radar.shape[0]
+            ip = jnp.concatenate([radar, lidar], axis=0)
+            feat = eng.E.apply(
+                {"params": st.e, "batch_stats": st.stats["e"]},
+                ip.astype(eng.cdt), train=False).astype(jnp.float32)
+            r2l = eng.G_lidar.apply(
+                {"params": st.g_lidar, "batch_stats": st.stats["g_lidar"]},
+                feat[:bs].astype(eng.cdt), train=False)
+            l2r = eng.G_radar.apply(
+                {"params": st.g_radar, "batch_stats": st.stats["g_radar"]},
+                feat[bs:].astype(eng.cdt), train=False)
+            return r2l, l2r
+
+        r2l, l2r = cross_decode(state, test_radar, test_lidar)
         _save_strip(os.path.join(d, "cross_decode.png"),
                     [("real_radar", np.asarray(test_radar[0])),
-                     ("radar->lidarG", np.asarray(outs["lidar_gen"][0])),
+                     ("recon radar->radarG", np.asarray(outs["radar_gen"][0])),
+                     ("cross radar->lidarG", np.asarray(r2l[0])),
                      ("real_lidar", np.asarray(test_lidar[0])),
-                     ("lidar->radarG", np.asarray(outs["radar_gen"][0]))])
+                     ("recon lidar->lidarG", np.asarray(outs["lidar_gen"][0])),
+                     ("cross lidar->radarG", np.asarray(l2r[0]))])
         summary["ae"] = {"epochs": args.epochs, "final": rows[-1],
                          "wall_s": round(time.time() - t0, 1)}
 
