@@ -233,3 +233,79 @@ def fused_conv3x3_in_act(x: jnp.ndarray, w: jnp.ndarray,
             + n * hw * cout * x.dtype.itemsize + 9 * cin * cout * 2,
             transcendentals=0),
     )(*args)
+
+
+# --------------------------------------------------------------------------- #
+# 7x7 reflect conv with ONE output channel — the CycleGAN/pix2pixHD head.
+# A cout=1 conv runs XLA's MXU at 1/128 lane utilization (measured 18 ms of
+# the 96.6 ms headline int8 engine at 256² batch 256), and the XLA-level
+# plane decomposition loses even more to 49-minor-lane layout traffic
+# (docs/DESIGN.md round 4). This kernel keeps the tap products VMEM-resident:
+# per row-tile, ONE (rows·W, Cin)x(Cin, 49) MXU matmul produces all tap
+# planes, an in-VMEM transpose puts the tap index on the LEADING dim, and 49
+# leading-dim shifted adds build the output — no HBM plane tensor, no
+# lane-dim gathers. Optionally fuses the model's tanh.
+# --------------------------------------------------------------------------- #
+def _conv7_cout1_kernel(xp_ref, w_ref, b_ref, out_ref, *, h: int, w: int,
+                        cin: int, rows: int, act: str):
+    k, p = 7, 3
+    n_tiles = h // rows
+    for t in range(n_tiles):
+        r0 = t * rows
+        slab = xp_ref[0, r0:r0 + rows + 2 * p, :, :]       # (rows+6, w+6, cin)
+        t2 = jnp.dot(slab.reshape((rows + 2 * p) * (w + 2 * p), cin),
+                     w_ref[...], preferred_element_type=jnp.float32)
+        t3 = t2.reshape(rows + 2 * p, w + 2 * p, k * k)
+        acc = jnp.zeros((rows, w), jnp.float32)
+        for tap in range(k * k):
+            dy, dx = tap // k, tap % k
+            acc = acc + t3[dy:dy + rows, dx:dx + w, tap]
+        acc = acc + b_ref[0]
+        if act == "tanh":
+            acc = jnp.tanh(acc)
+        out_ref[0, r0:r0 + rows, :] = acc.astype(out_ref.dtype)
+
+
+def conv2d_reflect_cout1(x: jnp.ndarray, w: jnp.ndarray,
+                         b: Optional[jnp.ndarray] = None,
+                         act: str = "none",
+                         rows: int = 64,
+                         interpret: bool = False) -> jnp.ndarray:
+    """7x7 stride-1 reflect conv to ONE channel (+ optional fused tanh).
+
+    Input (N, H, W, Cin) bf16/fp32, weights HWIO (7, 7, Cin, 1); returns
+    (N, H, W, 1). Use on TPU only (callers fall back to
+    ``tnn.conv2d_reflect`` elsewhere).
+    """
+    n, h, wd, cin = x.shape
+    k, p = w.shape[0], w.shape[0] // 2
+    assert k == 7 and w.shape[3] == 1
+    if h % rows:
+        rows = next(r for r in (64, 32, 16, 8, 4, 2, 1) if h % r == 0)
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+    wm = jnp.asarray(w[..., 0], jnp.float32).reshape(k * k, cin).T  # (cin,49)
+    wm = wm.astype(x.dtype)
+    b0 = jnp.asarray(b if b is not None else jnp.zeros(1), jnp.float32) \
+        .reshape(1)
+    kern = functools.partial(_conv7_cout1_kernel, h=h, w=wd, cin=cin,
+                             rows=rows, act=act)
+    out = pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, h + 2 * p, wd + 2 * p, cin),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((cin, k * k), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1,), lambda i: (0,),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, h, wd), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, wd), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * wd * k * k * cin,
+            bytes_accessed=n * h * wd * (cin + 1) * x.dtype.itemsize,
+            transcendentals=n * h * wd if act == "tanh" else 0),
+        interpret=interpret,
+    )(xp, wm, b0)
+    return out[..., None]

@@ -359,3 +359,18 @@ def test_bn_folded_resblock_matches_batchnorm_reference():
                                rtol=1e-4, atol=1e-4)
     err = float(jnp.max(jnp.abs(y_emul - y_ref)))
     assert err < 0.25, err
+
+
+def test_conv7_cout1_kernel_matches_reflect_conv():
+    """Whole-row-tile 7x7 cout=1 head kernel (interpret) == the reflect conv
+    composition, including fused tanh and non-multiple row tiling."""
+    from cistar_tpu.ops.pallas_kernels import conv2d_reflect_cout1
+
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(2, 48, 48, 16).astype(np.float32))
+    w = jnp.asarray(rng.randn(7, 7, 16, 1).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(1).astype(np.float32))
+    y = conv2d_reflect_cout1(x, w, b, act="tanh", interpret=True)
+    ref = jnp.tanh(tnn.conv2d_reflect(x, w, b))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
