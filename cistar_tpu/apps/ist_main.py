@@ -40,6 +40,14 @@ def main(argv=None):
                    help="vmap N frames into ONE compiled L-BFGS program "
                         "(aggregate frames/sec; the reference sweeps one "
                         "frame at a time, IST/main.py:186-238)")
+    p.add_argument("--history", type=int, default=100,
+                   help="L-BFGS history size (torch default 100; smaller "
+                        "trades ~10%% speed at 1024^2 for a trajectory "
+                        "deviation — fidelity delta in docs/DESIGN.md)")
+    p.add_argument("--history_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="store the L-BFGS S/Y history at reduced precision "
+                        "(halves optimizer HBM traffic)")
     p.add_argument("opts", nargs="*", default=[], help="KEY VALUE config overrides")
     args = p.parse_args(argv)
     if args.platform:
@@ -86,7 +94,9 @@ def main(argv=None):
                        "(outputs will not match the pretrained reference)")
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    engine = GatysEngine(cfg, params, compute_dtype=dtype)
+    engine = GatysEngine(cfg, params, compute_dtype=dtype,
+                         history_size=args.history,
+                         history_dtype=getattr(jnp, args.history_dtype))
 
     style_img = load_image(args.style_image, "RGB")
     content_list = sorted(glob.glob(os.path.join(args.content_dir, "*.png")))
