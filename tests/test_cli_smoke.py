@@ -132,3 +132,37 @@ def test_convert_checkpoint_cli(tmp_path):
     out = str(tmp_path / "netD_A.npz")
     convert_main(["--family", "cyclegan-d", "--in_pth", pth, "--out", out])
     assert os.path.exists(out)
+
+
+def test_cyclegan_engine_file_cross_process(dataroot, tmp_path):
+    """The exported sharded program must load in a DIFFERENT process (the
+    deployment reality of a serialized engine file): export via one
+    subprocess, run via another."""
+    import subprocess
+    import sys as _sys
+
+    from cistar_tpu.apps.cyclegan_train import main as train_main
+
+    out = str(tmp_path / "xp")
+    train_main([
+        "--dataroot", dataroot, "--size", "32", "--n_epochs", "1",
+        "--batchSize", "2", "--gen_type", "p2p", "--output_dir", out,
+        "--log_every", "10", "--dtype", "fp32", "--min_points", "5",
+    ])
+    eng = str(tmp_path / "xp.jaxengine")
+    base = [_sys.executable, "-m", "cistar_tpu.apps.cyclegan_test",
+            "--dataroot", dataroot, "--size", "32", "--gen_type", "p2p",
+            "--model_dir", out + "_p2p", "--dtype", "fp32",
+            "--batchSize", "8", "--platform", "cpu"]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.getcwd()] + env.get("PYTHONPATH", "").split(os.pathsep))
+    r1 = subprocess.run(base + ["--export_engine", eng], env=env,
+                        capture_output=True, text=True, timeout=600)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert os.path.getsize(eng) > 0
+    r2 = subprocess.run(base + ["--engine_file", eng], env=env,
+                        capture_output=True, text=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "loaded serialized" in r2.stdout
+    assert glob.glob(out + "_p2p/img_gen_test_rec/panel_*.png")
