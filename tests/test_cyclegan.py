@@ -126,3 +126,37 @@ def test_infer_step_shapes(tiny_engine, rng):
     fake_b, fake_a, rec_b = eng.infer_step(state, a, b)
     assert fake_b.shape == a.shape and fake_a.shape == b.shape
     assert rec_b.shape == b.shape
+
+
+@pytest.mark.fast
+def test_family_int8_applies_match_linen_in_fp32(rng):
+    """The bilinear/multiscale fast_infer forwards reproduce the linen
+    models EXACTLY when the trunk runs emulated int8 off / the bf16 layers
+    run fp32 — i.e. every non-quantized stage (encoder branches, decoder,
+    skips) has the right geometry. (The int8 trunk itself is covered by the
+    quantization-tolerance goldens; here we isolate the plumbing.)"""
+    import warnings
+
+    from cistar_tpu.models import fast_infer as fi
+    from cistar_tpu.models.cyclegan import build_generator
+
+    x = jnp.asarray(rng.rand(1, 64, 64, 1).astype(np.float32) * 2 - 1)
+    for gen_type, dense in (("bilinear_content", True),
+                            ("atrous_content", True),
+                            ("atrous_content", False)):
+        m = build_generator(gen_type, 1, 8, 2, dense_decoder=dense)
+        params = m.init(jax.random.PRNGKey(0), x)["params"]
+        ref = m.apply({"params": params}, x)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            if gen_type.startswith("bilinear"):
+                q = fi.quantize_bilinear_trunk(params, 2)
+                got = fi.bilinear_generator_int8_trunk_apply(params, q, x, 2)
+            else:
+                q = fi.quantize_multiscale_trunk(params, 2)
+                got = fi.multiscale_generator_int8_trunk_apply(
+                    params, q, x, 2, dense_decoder=dense)
+        # non-trunk stages are bit-comparable; the int8 trunk contributes
+        # only quantization noise (post-tanh, well under 0.1)
+        err = float(jnp.max(jnp.abs(got - ref)))
+        assert err < 0.1, (gen_type, dense, err)
