@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -90,8 +91,13 @@ def main(argv=None):
         infer_bf16 = _try_cache(infer_bf16, (params, batch),
                                 f"bench_bf16:{args.blocks}:{args.features}")
     if args.engine != "bf16":
+        # Experimental kernel-path env flags must key the executable cache,
+        # or a flag flip would silently reload the previous flag's binary.
+        exp = (f":in{os.environ.get('CISTAR_FUSED_STAGE_IN', '0')}"
+               f":hd{os.environ.get('CISTAR_HEAD_KERNEL', '-')}")
         infer_int8 = _try_cache(infer_int8, (params, qblocks, batch),
-                                f"bench_int8:{args.blocks}:{args.features}")
+                                f"bench_int8:{args.blocks}:{args.features}"
+                                + exp)
 
     # NOTE on timing: on the axon-tunneled TPU backend, block_until_ready
     # returns before execution finishes — only a host fetch synchronizes.

@@ -15,6 +15,7 @@ exact same checkpoint trees as the linen models.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict
 
 import jax
@@ -22,6 +23,37 @@ import jax.numpy as jnp
 
 from cistar_tpu.ops import nn as tnn
 from cistar_tpu.ops.pallas_kernels import fused_conv3x3_in_act
+
+
+def _stage_in_relu(h: jnp.ndarray) -> jnp.ndarray:
+    """Stage IN+ReLU for the int8 engines' bf16 XLA segments.
+
+    ``CISTAR_FUSED_STAGE_IN=1`` routes it through the single-pass Pallas IN
+    kernel: between Pallas custom calls XLA cannot fuse the IN statistics
+    reduce into anything, so each stage norm costs ~3 HBM passes; the fused
+    kernel does 2 (one read, one write)."""
+    if os.environ.get("CISTAR_FUSED_STAGE_IN") == "1":
+        from cistar_tpu.ops.pallas_kernels import fused_instance_norm_act
+        return fused_instance_norm_act(h, act="relu")
+    return tnn.relu(tnn.instance_norm(h))
+
+
+def _head_conv_tanh(h: jnp.ndarray, p: Dict[str, Any]) -> jnp.ndarray:
+    """Final 7×7 reflect conv → 1 channel + tanh.
+
+    One output channel uses 1/128 MXU lanes, making the plain conv the
+    single most expensive op in the headline int8 engine (18 ms of 96.6 ms
+    at 256²/batch 256). ``CISTAR_HEAD_KERNEL=loop|masked`` routes it through
+    the masked tap-reduction Pallas kernels (``ops.pallas_kernels``)."""
+    variant = os.environ.get("CISTAR_HEAD_KERNEL", "")
+    w = p["w"]
+    if variant and w.shape[:1] == (7,) and w.shape[3] == 1:
+        from cistar_tpu.ops.pallas_kernels import (
+            conv2d_reflect_cout1_loop, conv2d_reflect_cout1_masked)
+        fn = {"loop": conv2d_reflect_cout1_loop,
+              "masked": conv2d_reflect_cout1_masked}[variant]
+        return fn(h, w, p.get("b"), act="tanh")
+    return tnn.tanh(tnn.conv2d_reflect(h, w, p.get("b")))
 
 
 def resnet_generator_fast_apply(params: Dict[str, Any], x: jnp.ndarray,
@@ -75,11 +107,11 @@ def resnet_generator_int8_trunk_apply(params: Dict[str, Any],
 
     p = params["init_conv"]
     h = tnn.conv2d_reflect(x, p["w"], p.get("b"))
-    h = tnn.relu(tnn.instance_norm(h))
+    h = _stage_in_relu(h)
     for i in range(3):
         p = params[f"down_{i}"]
         h = tnn.conv2d(h, p["w"], p.get("b"), stride=2, padding=1)
-        h = tnn.relu(tnn.instance_norm(h))
+        h = _stage_in_relu(h)
     chain = resblock_chain_int8_bf16io if int8_carrier == "bf16" \
         else resblock_chain_int8
     h = chain(h, qblocks, expect_kernel=expect_kernel)
@@ -87,10 +119,8 @@ def resnet_generator_int8_trunk_apply(params: Dict[str, Any],
         p = params[f"up_{i}"]
         h = tnn.conv_transpose2d(h, p["w"], p.get("b"), stride=2, padding=1,
                                  output_padding=1)
-        h = tnn.relu(tnn.instance_norm(h))
-    p = params["out_conv"]
-    h = tnn.conv2d_reflect(h, p["w"], p.get("b"))
-    return tnn.tanh(h)
+        h = _stage_in_relu(h)
+    return _head_conv_tanh(h, params["out_conv"])
 
 
 def global_generator_fast_apply(params: Dict[str, Any], x: jnp.ndarray,

@@ -309,3 +309,205 @@ def conv2d_reflect_cout1(x: jnp.ndarray, w: jnp.ndarray,
         interpret=interpret,
     )(xp, wm, b0)
     return out[..., None]
+
+
+# --------------------------------------------------------------------------- #
+# cout=1 head conv, attempt 2: masked two-stage tap reduction.
+#
+# Round-4 post-mortem of :func:`conv2d_reflect_cout1` (docs/DESIGN.md): both
+# prior structural variants wedged the Mosaic compiler (>7 min) because every
+# tap needed a LANE-dim relayout — 49 single-lane extracts (or one big
+# in-VMEM transpose) per row tile. This variant has ZERO lane movement:
+#
+#   1. ONE MXU matmul per row tile turns the slab into 49 tap planes packed
+#      dy-major into 64 lanes (lane = 8*dy + dx; dx==7 / dy==7 lanes carry
+#      zero weights).
+#   2. Stage A (dx reduction): 7 sublane-shifted masked adds select each
+#      lane's own dx-shifted value — pure elementwise selects, no shuffles.
+#   3. Stage B (dy reduction): 7 leading-dim-shifted masked adds, then one
+#      cross-lane sum produces the (rows, W) output plane.
+#
+# Reflect padding is assembled IN VMEM from the unpadded image block (column
+# pad once per image, row pad only on the edge tiles), so HBM sees exactly
+# one read of x and one write of the (N,H,W) output — the XLA path's
+# interior/border decomposition (`ops.nn.conv2d_reflect`) reads x ~once too
+# but is MXU-row-bound at cout=1 (measured 18 ms of the 96.6 ms headline
+# engine; reference role: the final `nn.Conv2d(ngf, 1, 7)` of
+# CycleGAN/models.py:24-67 and p2pHD networks.py:195-223).
+# --------------------------------------------------------------------------- #
+def _conv7_cout1_masked_kernel(x_ref, w_ref, b_ref, out_ref, *, h: int,
+                               wd: int, cin: int, rows: int, act: str):
+    k, p = 7, 3
+    img = x_ref[0]                                    # (h, wd, cin)
+    # Column reflect pad -> (h, wd + 6, cin). Sublane-dim concat, done once.
+    xw = jnp.concatenate(
+        [img[:, 3:4], img[:, 2:3], img[:, 1:2], img,
+         img[:, wd - 2:wd - 1], img[:, wd - 3:wd - 2], img[:, wd - 4:wd - 3]],
+        axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 64), 2)
+    zero = jnp.zeros((), jnp.float32)
+    n_tiles = h // rows
+    for t in range(n_tiles):
+        r0 = t * rows
+        lo, hi = r0 - p, r0 + rows + p
+        parts = []
+        if lo < 0:                                    # top edge: rows -3..-1
+            parts += [xw[3:4], xw[2:3], xw[1:2]]
+        parts.append(xw[max(lo, 0):min(hi, h)])
+        if hi > h:                                    # bottom edge: rows h..h+2
+            parts += [xw[h - 2:h - 1], xw[h - 3:h - 2], xw[h - 4:h - 3]]
+        slab = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        m = (rows + 2 * p) * (wd + 2 * p)
+        t2 = jnp.dot(slab.reshape(m, cin), w_ref[...],
+                     preferred_element_type=jnp.float32)
+        t3 = t2.reshape(rows + 2 * p, wd + 2 * p, 64)
+        accA = jnp.zeros((rows + 2 * p, wd, 64), jnp.float32)
+        for dx in range(k):
+            accA = accA + jnp.where(lane % 8 == dx, t3[:, dx:dx + wd, :],
+                                    zero)
+        accB = jnp.zeros((rows, wd, 64), jnp.float32)
+        for dy in range(k):
+            accB = accB + jnp.where(lane // 8 == dy, accA[dy:dy + rows], zero)
+        y = jnp.sum(accB, axis=-1) + b_ref[0]
+        if act == "tanh":
+            y = jnp.tanh(y)
+        out_ref[0, r0:r0 + rows, :] = y.astype(out_ref.dtype)
+
+
+def conv2d_reflect_cout1_masked(x: jnp.ndarray, w: jnp.ndarray,
+                                b: Optional[jnp.ndarray] = None,
+                                act: str = "none",
+                                rows: int = 32,
+                                interpret: bool = False) -> jnp.ndarray:
+    """7x7 stride-1 reflect conv to ONE channel (+ optional fused tanh).
+
+    Masked two-stage tap reduction (see block comment above). Input
+    (N, H, W, Cin), weights HWIO (7, 7, Cin, 1); returns (N, H, W, 1).
+    TPU-only fast path; callers fall back to ``ops.nn.conv2d_reflect``.
+    """
+    n, h, wd, cin = x.shape
+    k, p = w.shape[0], w.shape[0] // 2
+    assert k == 7 and w.shape[3] == 1 and h > 2 * p and wd > 2 * p
+    if h % rows:
+        rows = next(r for r in (64, 32, 16, 8, 4, 2, 1) if h % r == 0)
+    # Lane packing: lane 8*dy + dx holds tap (dy, dx); dx==7 lanes are zero.
+    wm = jnp.zeros((cin, 64), jnp.float32)
+    wm = wm.at[:, (jnp.arange(49) // 7) * 8 + jnp.arange(49) % 7].set(
+        jnp.asarray(w[..., 0], jnp.float32).reshape(49, cin).T)
+    wm = wm.astype(x.dtype)
+    b0 = jnp.asarray(b if b is not None else jnp.zeros(1), jnp.float32) \
+        .reshape(1)
+    kern = functools.partial(_conv7_cout1_masked_kernel, h=h, wd=wd, cin=cin,
+                             rows=rows, act=act)
+    out = pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, h, wd, cin), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((cin, 64), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1,), lambda i: (0,),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, h, wd), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, wd), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * wd * k * k * cin,
+            bytes_accessed=n * h * wd * (cin + 1) * x.dtype.itemsize,
+            transcendentals=n * h * wd if act == "tanh" else 0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, wm, b0)
+    return out[..., None]
+
+
+def _conv7_cout1_loop_kernel(x_ref, w_ref, b_ref, out_ref, xp_ref, *, h: int,
+                             wd: int, cin: int, rows: int, act: str):
+    """Same math as :func:`_conv7_cout1_masked_kernel` but with the tile loop
+    as ONE ``lax.fori_loop`` body — the unrolled-tiles variant traces 8
+    copies of the body and Mosaic's compile time on that program is
+    pathological (>15 min at 256²; even a 2-tile 64² toy took 360 s). A
+    single traced body keeps the Mosaic program ~8× smaller. Mosaic cannot
+    lower ``dynamic_slice`` on VALUES, so the reflect-padded image is staged
+    into a VMEM scratch REF with static stores (center, then top/bottom
+    reflect rows, then left/right reflect columns — column pass last so the
+    corners reflect correctly), and the loop body reads loop-varying
+    ``pl.ds`` slices from that ref (major-dim dynamic starts are lowerable)."""
+    k, p = 7, 3
+    img = x_ref[0]                                    # (h, wd, cin)
+    xp_ref[p:h + p, p:wd + p] = img
+    for d in range(1, p + 1):                         # reflect rows
+        xp_ref[p - d, p:wd + p] = img[d]
+        xp_ref[h + p - 1 + d, p:wd + p] = img[h - 1 - d]
+    for d in range(1, p + 1):                         # reflect cols (+corners)
+        xp_ref[:, p - d] = xp_ref[:, p + d]
+        xp_ref[:, wd + p - 1 + d] = xp_ref[:, wd + p - 1 - d]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 64), 2)
+    zero = jnp.zeros((), jnp.float32)
+    m = (rows + 2 * p) * (wd + 2 * p)
+
+    def body(t, _):
+        slab = xp_ref[pl.ds(t * rows, rows + 2 * p)]  # (rows+6, wd+6, cin)
+        t2 = jnp.dot(slab.reshape(m, cin), w_ref[...],
+                     preferred_element_type=jnp.float32)
+        t3 = t2.reshape(rows + 2 * p, wd + 2 * p, 64)
+        accA = jnp.zeros((rows + 2 * p, wd, 64), jnp.float32)
+        for dx in range(k):
+            accA = accA + jnp.where(lane % 8 == dx, t3[:, dx:dx + wd, :],
+                                    zero)
+        accB = jnp.zeros((rows, wd, 64), jnp.float32)
+        for dy in range(k):
+            accB = accB + jnp.where(lane // 8 == dy, accA[dy:dy + rows],
+                                    zero)
+        y = jnp.sum(accB, axis=-1) + b_ref[0]
+        if act == "tanh":
+            y = jnp.tanh(y)
+        out_ref[0, pl.ds(t * rows, rows), :] = y.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, h // rows, body, 0)
+
+
+def conv2d_reflect_cout1_loop(x: jnp.ndarray, w: jnp.ndarray,
+                              b: Optional[jnp.ndarray] = None,
+                              act: str = "none",
+                              rows: int = 32,
+                              interpret: bool = False) -> jnp.ndarray:
+    """7x7 stride-1 reflect conv to ONE channel — fori_loop-tiled variant of
+    :func:`conv2d_reflect_cout1_masked` (see its docstring)."""
+    n, h, wd, cin = x.shape
+    k, p = w.shape[0], w.shape[0] // 2
+    assert k == 7 and w.shape[3] == 1 and h > 2 * p and wd > 2 * p
+    if h % rows:
+        rows = next(r for r in (64, 32, 16, 8, 4, 2, 1) if h % r == 0)
+    wm = jnp.zeros((cin, 64), jnp.float32)
+    wm = wm.at[:, (jnp.arange(49) // 7) * 8 + jnp.arange(49) % 7].set(
+        jnp.asarray(w[..., 0], jnp.float32).reshape(49, cin).T)
+    wm = wm.astype(x.dtype)
+    b0 = jnp.asarray(b if b is not None else jnp.zeros(1), jnp.float32) \
+        .reshape(1)
+    kern = functools.partial(_conv7_cout1_loop_kernel, h=h, wd=wd, cin=cin,
+                             rows=rows, act=act)
+    out = pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, h, wd, cin), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((cin, 64), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1,), lambda i: (0,),
+                               memory_space=pltpu.SMEM)],
+        scratch_shapes=[pltpu.VMEM((h + 2 * p, wd + 2 * p, cin), x.dtype)],
+        out_specs=pl.BlockSpec((1, h, wd), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, wd), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * wd * k * k * cin,
+            bytes_accessed=n * h * wd * (cin + 1) * x.dtype.itemsize,
+            transcendentals=n * h * wd if act == "tanh" else 0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, wm, b0)
+    return out[..., None]

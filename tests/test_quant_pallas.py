@@ -374,3 +374,31 @@ def test_conv7_cout1_kernel_matches_reflect_conv():
     ref = jnp.tanh(tnn.conv2d_reflect(x, w, b))
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_conv7_cout1_masked_and_loop_variants_match_reflect_conv():
+    """The masked two-stage tap-reduction head kernels (unrolled-tiles and
+    fori_loop variants) == the reflect conv composition (interpret), across
+    edge-tile row configs, odd widths, and the no-bias/no-act path."""
+    from cistar_tpu.ops.pallas_kernels import (conv2d_reflect_cout1_loop,
+                                               conv2d_reflect_cout1_masked)
+
+    rng = np.random.RandomState(11)
+    for (h, wd, cin, rows) in [(48, 48, 16, 16), (32, 40, 8, 8),
+                               (64, 64, 32, 32)]:
+        x = jnp.asarray(rng.randn(2, h, wd, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(7, 7, cin, 1).astype(np.float32) * 0.05)
+        b = jnp.asarray(rng.randn(1).astype(np.float32))
+        ref = jnp.tanh(tnn.conv2d_reflect(x, w, b))
+        for fn in (conv2d_reflect_cout1_masked, conv2d_reflect_cout1_loop):
+            y = fn(x, w, b, act="tanh", rows=rows, interpret=True)
+            np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5)
+    # no bias / identity act
+    x = jnp.asarray(rng.randn(1, 16, 24, 4).astype(np.float32))
+    w = jnp.asarray(rng.randn(7, 7, 4, 1).astype(np.float32) * 0.05)
+    ref = tnn.conv2d_reflect(x, w, None)
+    for fn in (conv2d_reflect_cout1_masked, conv2d_reflect_cout1_loop):
+        y = fn(x, w, None, act="none", rows=16, interpret=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
