@@ -87,13 +87,17 @@ def main(argv=None):
         except Exception:
             return fn
 
+    from cistar_tpu.models.fast_infer import ENGINE_REV
+
     if args.engine != "int8":
         infer_bf16 = _try_cache(infer_bf16, (params, batch),
                                 f"bench_bf16:{args.blocks}:{args.features}")
     if args.engine != "bf16":
-        # Experimental kernel-path env flags must key the executable cache,
-        # or a flag flip would silently reload the previous flag's binary.
-        exp = (f":in{os.environ.get('CISTAR_FUSED_STAGE_IN', '0')}"
+        # Experimental kernel-path env flags AND the engine code revision
+        # must key the executable cache, or a flag flip / code change would
+        # silently reload the previous configuration's binary.
+        exp = (f":r{ENGINE_REV}"
+               f":in{os.environ.get('CISTAR_FUSED_STAGE_IN', '0')}"
                f":hd{os.environ.get('CISTAR_HEAD_KERNEL', '-')}")
         infer_int8 = _try_cache(infer_int8, (params, qblocks, batch),
                                 f"bench_int8:{args.blocks}:{args.features}"

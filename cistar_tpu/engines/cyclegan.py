@@ -269,9 +269,8 @@ class CycleGAN:
         :meth:`infer_step_int8`. Family-dispatched like the reference's
         TRT int8 builder (any exported network, ``run_engine.py:160-165``):
         'p2p*' quantizes the dense ResNet trunk, 'bilinear*' the atrous res
-        trunk, 'atrous*' the plain res trunk behind the atrous encoder.
-        'unet*' has no res trunk between encoder and decoder worth isolating
-        — it remains bf16-only."""
+        trunk, 'atrous*' and 'unet*' the plain res trunk between their
+        encoders and skip-concat decoders (the skip activations stay bf16)."""
         from cistar_tpu.models.fast_infer import (quantize_bilinear_trunk,
                                                   quantize_multiscale_trunk)
         from cistar_tpu.ops.quant_pallas import quantize_resnet_trunk
@@ -280,12 +279,13 @@ class CycleGAN:
             fn = lambda p: quantize_resnet_trunk(p, self.n_residual_blocks)
         elif self.gen_type.startswith("bilinear"):
             fn = lambda p: quantize_bilinear_trunk(p, self.n_residual_blocks)
-        elif self.gen_type.startswith("atrous"):
+        elif self.gen_type.startswith(("atrous", "unet")):
             fn = lambda p: quantize_multiscale_trunk(p, self.n_residual_blocks)
         else:
             raise NotImplementedError(
                 f"no int8 inference engine for gen_type='{self.gen_type}' "
-                "(supported: p2p*, bilinear*, atrous*); use the bf16 path")
+                "(supported: p2p*, bilinear*, atrous*, unet*); "
+                "use the bf16 path")
         return fn(state.g_a2b), fn(state.g_b2a)
 
     def _int8_fwd(self, params, q, x, expect_kernel: bool):
@@ -297,6 +297,10 @@ class CycleGAN:
                 expect_kernel=expect_kernel)
         if self.gen_type.startswith("bilinear"):
             return fi.bilinear_generator_int8_trunk_apply(
+                params, q, x, self.n_residual_blocks,
+                expect_kernel=expect_kernel)
+        if self.gen_type.startswith("unet"):
+            return fi.unet_generator_int8_trunk_apply(
                 params, q, x, self.n_residual_blocks,
                 expect_kernel=expect_kernel)
         return fi.multiscale_generator_int8_trunk_apply(

@@ -25,34 +25,73 @@ from cistar_tpu.ops import nn as tnn
 from cistar_tpu.ops.pallas_kernels import fused_conv3x3_in_act
 
 
+#: Bump when the compiled int8-engine program changes (new default kernels,
+#: restructured stages): callers that key disk EXECUTABLE caches (bench.py,
+#: the CLIs) include this so a code change can never silently reload a
+#: pre-change binary under the same shape/options fingerprint.
+ENGINE_REV = 5
+
+# Experimental-kernel env flags are read ONCE at import (process-lifetime
+# semantics): the engines jit and AOT-export these forwards, so a mid-process
+# flip would otherwise silently reuse the stale trace / baked-in executable.
+# bench.py additionally keys its disk executable cache on both values.
+_FUSED_STAGE_IN = os.environ.get("CISTAR_FUSED_STAGE_IN", "")
+_HEAD_KERNEL = os.environ.get("CISTAR_HEAD_KERNEL", "")
+
+
 def _stage_in_relu(h: jnp.ndarray) -> jnp.ndarray:
     """Stage IN+ReLU for the int8 engines' bf16 XLA segments.
 
     ``CISTAR_FUSED_STAGE_IN=1`` routes it through the single-pass Pallas IN
     kernel: between Pallas custom calls XLA cannot fuse the IN statistics
     reduce into anything, so each stage norm costs ~3 HBM passes; the fused
-    kernel does 2 (one read, one write)."""
-    if os.environ.get("CISTAR_FUSED_STAGE_IN") == "1":
+    kernel does 2 (one read, one write). Measured 5.4% SLOWER end-to-end in
+    round 4 (whole-image grid steps serialize traffic XLA overlaps) — kept
+    default-off."""
+    if _FUSED_STAGE_IN == "1":
         from cistar_tpu.ops.pallas_kernels import fused_instance_norm_act
         return fused_instance_norm_act(h, act="relu")
     return tnn.relu(tnn.instance_norm(h))
+
+
+#: Head-conv variants: "shift" (stride-8 shift-channel conv, the round-5
+#: default — replaces the 16.5 ms cout=1 fusion with a ~3 ms full-lane MXU
+#: conv), "xla" (the plain reflect-conv fusion, pre-round-5 behavior),
+#: "tap_matmul" (round-5 Pallas (8,128)-tap kernel — compiles, correct, but
+#: measured slower than "shift"), "loop"/"maskedloop"/"masked" (round-4
+#: probes; wedge Mosaic at flagship shapes).
+_HEAD_VARIANTS = ("", "shift", "xla", "tap_matmul", "loop", "maskedloop",
+                  "masked")
 
 
 def _head_conv_tanh(h: jnp.ndarray, p: Dict[str, Any]) -> jnp.ndarray:
     """Final 7×7 reflect conv → 1 channel + tanh.
 
     One output channel uses 1/128 MXU lanes, making the plain conv the
-    single most expensive op in the headline int8 engine (18 ms of 96.6 ms
-    at 256²/batch 256). ``CISTAR_HEAD_KERNEL=loop|masked`` routes it through
-    the masked tap-reduction Pallas kernels (``ops.pallas_kernels``)."""
-    variant = os.environ.get("CISTAR_HEAD_KERNEL", "")
+    single most expensive op in the headline int8 engine (16.5 ms of 117 ms
+    at 256²/batch 256). Default is the stride-8 shift-channel reformulation
+    (``ops.head_conv.head_conv_tanh_shift``) whenever the shape allows;
+    ``CISTAR_HEAD_KERNEL`` overrides (see ``_HEAD_VARIANTS``)."""
+    variant = _HEAD_KERNEL
+    if variant not in _HEAD_VARIANTS:
+        raise ValueError(
+            f"CISTAR_HEAD_KERNEL={variant!r} is not a known head-conv "
+            f"variant; valid values: {', '.join(v for v in _HEAD_VARIANTS if v)}")
     w = p["w"]
-    if variant and w.shape[:1] == (7,) and w.shape[3] == 1:
+    is7 = w.shape[:1] == (7,) and w.shape[3] == 1
+    if variant in ("loop", "maskedloop", "masked") and is7:
         from cistar_tpu.ops.pallas_kernels import (
             conv2d_reflect_cout1_loop, conv2d_reflect_cout1_masked)
-        fn = {"loop": conv2d_reflect_cout1_loop,
-              "masked": conv2d_reflect_cout1_masked}[variant]
+        fn = conv2d_reflect_cout1_masked if variant == "masked" \
+            else conv2d_reflect_cout1_loop
         return fn(h, w, p.get("b"), act="tanh")
+    if variant == "tap_matmul" and is7:
+        from cistar_tpu.ops.head_conv import head_conv_tanh_pallas
+        return head_conv_tanh_pallas(h, w, p.get("b"), act="tanh")
+    if variant in ("", "shift") and is7 \
+            and h.shape[1] % 8 == 0 and h.shape[2] % 8 == 0:
+        from cistar_tpu.ops.head_conv import head_conv_tanh_shift
+        return head_conv_tanh_shift(h, w, p.get("b"), act="tanh")
     return tnn.tanh(tnn.conv2d_reflect(h, w, p.get("b")))
 
 
@@ -86,7 +125,8 @@ def resnet_generator_int8_trunk_apply(params: Dict[str, Any],
                                       qblocks, x: jnp.ndarray,
                                       n_residual_blocks: int = 9,
                                       int8_carrier: str = "bf16",
-                                      expect_kernel: bool = False) -> jnp.ndarray:
+                                      expect_kernel: bool = False,
+                                      force_emulate: bool = False) -> jnp.ndarray:
     """ResnetGenerator forward with the residual trunk on the int8 MXU.
 
     Stem/downsample/upsample layers run bf16 under XLA; the 9 res blocks —
@@ -114,7 +154,8 @@ def resnet_generator_int8_trunk_apply(params: Dict[str, Any],
         h = _stage_in_relu(h)
     chain = resblock_chain_int8_bf16io if int8_carrier == "bf16" \
         else resblock_chain_int8
-    h = chain(h, qblocks, expect_kernel=expect_kernel)
+    h = chain(h, qblocks, expect_kernel=expect_kernel,
+              force_emulate=force_emulate)
     for i in range(3):
         p = params[f"up_{i}"]
         h = tnn.conv_transpose2d(h, p["w"], p.get("b"), stride=2, padding=1,
@@ -432,6 +473,46 @@ def multiscale_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
                                           dilation=r)
                 outs.append(tnn.instance_norm(hh))
             h = tnn.relu(jnp.concatenate(outs, axis=-1))
+    p = params["out_conv"]
+    h = tnn.conv2d_reflect(h, p["w"], p.get("b"))
+    return tnn.tanh(h)
+
+
+def unet_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
+                                    x: jnp.ndarray,
+                                    n_residual_blocks: int = 6,
+                                    down_sample: int = 3,
+                                    expect_kernel: bool = False
+                                    ) -> jnp.ndarray:
+    """``UnetGenerator`` (``CycleGAN/models.py:100-181``, the ``train.sh``
+    example family) with its plain res trunk on the int8 MXU.
+
+    Same param tree as the linen ``models.cyclegan.UnetGenerator``: strided
+    conv encoder and skip-concat transpose decoder run bf16 XLA (the skip
+    activations stay bf16 — they feed the 2×-width decoder concat, not the
+    quantized trunk); the N bottleneck residual blocks run in the fused int8
+    chain (``quant_pallas.resblock_chain_int8_bf16io``). Closes the last
+    int8 tier gap (VERDICT r4 #5); quantize with
+    :func:`quantize_multiscale_trunk` (identical trunk layout)."""
+    from cistar_tpu.ops.quant_pallas import resblock_chain_int8_bf16io
+
+    p = params["init_conv"]
+    h = tnn.conv2d_reflect(x, p["w"], p.get("b"))
+    h = tnn.relu(tnn.instance_norm(h))
+    skips = []
+    for i in range(down_sample):
+        p = params[f"down_{i}"]["conv"]
+        h = tnn.conv2d(h, p["w"], p.get("b"), stride=2, padding=1)
+        h = tnn.relu(tnn.instance_norm(h))
+        skips.append(h)
+    h = resblock_chain_int8_bf16io(h, qblocks, expect_kernel=expect_kernel)
+    for i in range(down_sample):
+        skip = skips[down_sample - 1 - i]
+        h = jnp.concatenate([h, skip], axis=-1)
+        p = params[f"up_{i}"]["convt"]
+        h = tnn.conv_transpose2d(h, p["w"], p.get("b"), stride=2, padding=1,
+                                 output_padding=1)
+        h = tnn.relu(tnn.instance_norm(h))
     p = params["out_conv"]
     h = tnn.conv2d_reflect(h, p["w"], p.get("b"))
     return tnn.tanh(h)

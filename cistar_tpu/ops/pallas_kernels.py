@@ -411,9 +411,11 @@ def conv2d_reflect_cout1_masked(x: jnp.ndarray, w: jnp.ndarray,
         out_specs=pl.BlockSpec((1, h, wd), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, wd), x.dtype),
+        # image read + output write + tap-matrix read (bias is SMEM noise)
         cost_estimate=pl.CostEstimate(
             flops=2 * n * h * wd * k * k * cin,
-            bytes_accessed=n * h * wd * (cin + 1) * x.dtype.itemsize,
+            bytes_accessed=(n * h * wd * (cin + 1) + cin * 64)
+            * x.dtype.itemsize,
             transcendentals=n * h * wd if act == "tanh" else 0),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -502,9 +504,14 @@ def conv2d_reflect_cout1_loop(x: jnp.ndarray, w: jnp.ndarray,
         out_specs=pl.BlockSpec((1, h, wd), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, wd), x.dtype),
+        # image read + output write + tap-matrix read, plus the padded-image
+        # scratch round-trip this variant does (VMEM, counted 1× as a
+        # pessimism hint — the masked variant has no such scratch).
         cost_estimate=pl.CostEstimate(
             flops=2 * n * h * wd * k * k * cin,
-            bytes_accessed=n * h * wd * (cin + 1) * x.dtype.itemsize,
+            bytes_accessed=(n * h * wd * (cin + 1) + cin * 64
+                            + 2 * n * (h + 2 * p) * (wd + 2 * p) * cin)
+            * x.dtype.itemsize,
             transcendentals=n * h * wd if act == "tanh" else 0),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

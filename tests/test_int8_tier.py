@@ -132,12 +132,15 @@ def test_cyclegan_int8_matches_bf16_golden():
 
 
 def test_cyclegan_int8_unsupported_gen_type():
+    """All four reference families now have int8 tiers; the guard remains
+    for genuinely unknown prefixes (it must name the supported set)."""
     from cistar_tpu.engines.cyclegan import CycleGAN
 
-    eng = CycleGAN(gen_type="unet_content", in_features=8,
+    eng = CycleGAN(gen_type="p2p", in_features=8,
                    n_residual_blocks=1, image_size=32)
     state = eng.init_state(jax.random.PRNGKey(0), image_size=32)
-    with pytest.raises(NotImplementedError, match="unet_content"):
+    eng.gen_type = "nosuch_gen"
+    with pytest.raises(NotImplementedError, match="nosuch_gen"):
         eng.quantize_generators(state)
 
 
@@ -173,10 +176,12 @@ def test_p2phd_int8_batchnorm_family_raises():
 
 @pytest.mark.parametrize("gen_type,dense", [("bilinear_content", True),
                                             ("atrous_content", True),
-                                            ("atrous_content", False)])
+                                            ("atrous_content", False),
+                                            ("unet_content", True)])
 def test_cyclegan_int8_remaining_families_golden(gen_type, dense):
-    """VERDICT r3 #3: the int8 tier must cover the CLI-default
-    bilinear_content family and the atrous(+dense) family, not just p2p*."""
+    """VERDICT r3 #3 + r4 #5: the int8 tier must cover the CLI-default
+    bilinear_content family, the atrous(+dense) family, and the train.sh
+    unet_content family — not just p2p*."""
     from cistar_tpu.engines.cyclegan import CycleGAN
 
     eng = CycleGAN(gen_type=gen_type, input_nc=1, output_nc=1, in_features=8,

@@ -18,7 +18,7 @@ sys.path.insert(0, ".")
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--variant", required=True,
-                   choices=["xla", "taps", "pallas", "pallas_in"])
+                   choices=["xla", "taps", "shift", "pallas", "pallas_in"])
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--cin", type=int, default=64)
@@ -34,6 +34,7 @@ def main():
 
     from cistar_tpu.ops import nn as tnn
     from cistar_tpu.ops.head_conv import (head_conv_tanh_pallas,
+                                          head_conv_tanh_shift,
                                           head_conv_tanh_xla)
 
     rng = np.random.RandomState(0)
@@ -50,6 +51,7 @@ def main():
     fns = {
         "xla": ref,
         "taps": lambda x: head_conv_tanh_xla(x, w, b),
+        "shift": lambda x: head_conv_tanh_shift(x, w, b),
         "pallas": lambda x: head_conv_tanh_pallas(x, w, b, rows=args.rows),
         "pallas_in": lambda x: head_conv_tanh_pallas(x, w, b, rows=args.rows,
                                                      pre_in=True),
@@ -66,8 +68,12 @@ def main():
         print(f"[{args.variant}] small-shape maxabs vs ref: {err:.2e}")
         assert err < 5e-3, err
 
-    x = jnp.asarray(rng.rand(args.batch, args.size, args.size, args.cin)
-                    .astype(np.float32) * 2 - 1).astype(jnp.bfloat16)
+    # Generate the flagship input ON DEVICE: a (256,256,256,64) host array is
+    # 4.3 GB and takes minutes through the axon tunnel.
+    x = jax.jit(lambda k: (jax.random.uniform(k, (args.batch, args.size,
+                                                  args.size, args.cin))
+                           * 2 - 1).astype(jnp.bfloat16))(jax.random.PRNGKey(1))
+    jax.block_until_ready(x)
     t0 = time.perf_counter()
     y = fn(x)
     float(jnp.sum(y.astype(jnp.float32)))

@@ -22,6 +22,9 @@ def main():
     p.add_argument("--engine", choices=["int8", "bf16"], default="int8")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--out", default=None)
+    p.add_argument("--dump_hlo", default=None,
+                   help="write the optimized HLO text here (maps the "
+                        "profiler's fusion.N names to real ops)")
     args = p.parse_args()
 
     import jax
@@ -54,6 +57,12 @@ def main():
         def fn(batch):
             return model.apply({"params": params},
                                batch.astype(jnp.bfloat16)).astype(jnp.float32)
+
+    if args.dump_hlo:
+        txt = fn.lower(batch).compile().as_text()
+        with open(args.dump_hlo, "w") as f:
+            f.write(txt)
+        print(f"optimized HLO -> {args.dump_hlo} ({len(txt)} bytes)")
 
     rows, totals = profile_op_table(fn, batch, iters=args.iters)
     print(format_op_table(rows, totals, top=40))
