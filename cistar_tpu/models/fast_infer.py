@@ -29,7 +29,7 @@ from cistar_tpu.ops.pallas_kernels import fused_conv3x3_in_act
 #: restructured stages): callers that key disk EXECUTABLE caches (bench.py,
 #: the CLIs) include this so a code change can never silently reload a
 #: pre-change binary under the same shape/options fingerprint.
-ENGINE_REV = 5
+ENGINE_REV = 6
 
 # Experimental-kernel env flags are read ONCE at import (process-lifetime
 # semantics): the engines jit and AOT-export these forwards, so a mid-process
@@ -64,14 +64,22 @@ _HEAD_VARIANTS = ("", "shift", "xla", "tap_matmul", "loop", "maskedloop",
                   "masked")
 
 
-def _head_conv_tanh(h: jnp.ndarray, p: Dict[str, Any]) -> jnp.ndarray:
+def _head_conv_tanh(h: jnp.ndarray, p: Dict[str, Any],
+                    raw_in: bool = False) -> jnp.ndarray:
     """Final 7×7 reflect conv → 1 channel + tanh.
 
     One output channel uses 1/128 MXU lanes, making the plain conv the
     single most expensive op in the headline int8 engine (16.5 ms of 117 ms
     at 256²/batch 256). Default is the stride-8 shift-channel reformulation
     (``ops.head_conv.head_conv_tanh_shift``) whenever the shape allows;
-    ``CISTAR_HEAD_KERNEL`` overrides (see ``_HEAD_VARIANTS``)."""
+    ``CISTAR_HEAD_KERNEL`` overrides (see ``_HEAD_VARIANTS``).
+
+    ``raw_in=True``: ``h`` is the last upsample stage's RAW conv output —
+    its IN+ReLU still pending. The default variant then fuses the
+    normalize+ReLU into the head conv's input expression
+    (``head_conv_tanh_shift_prenorm``) instead of materializing a
+    standalone 2-pass normalize (6.4 ms at the flagship shape); non-default
+    variants apply the stage norm here and proceed unfused."""
     variant = _HEAD_KERNEL
     if variant not in _HEAD_VARIANTS:
         raise ValueError(
@@ -79,6 +87,16 @@ def _head_conv_tanh(h: jnp.ndarray, p: Dict[str, Any]) -> jnp.ndarray:
             f"variant; valid values: {', '.join(v for v in _HEAD_VARIANTS if v)}")
     w = p["w"]
     is7 = w.shape[:1] == (7,) and w.shape[3] == 1
+    if raw_in:
+        shift_ok = (variant == "" and is7
+                    and h.shape[1] % 8 == 0 and h.shape[2] % 8 == 0
+                    and h.shape[1] > 16 and h.shape[2] > 16)
+        if shift_ok:
+            from cistar_tpu.ops.head_conv import head_conv_tanh_shift_prenorm
+            mean, rsigma = tnn.instance_norm_stats(h)
+            return head_conv_tanh_shift_prenorm(h, mean, rsigma, w,
+                                                p.get("b"), act="tanh")
+        h = _stage_in_relu(h)
     if variant in ("loop", "maskedloop", "masked") and is7:
         from cistar_tpu.ops.pallas_kernels import (
             conv2d_reflect_cout1_loop, conv2d_reflect_cout1_masked)
@@ -160,8 +178,10 @@ def resnet_generator_int8_trunk_apply(params: Dict[str, Any],
         p = params[f"up_{i}"]
         h = tnn.conv_transpose2d(h, p["w"], p.get("b"), stride=2, padding=1,
                                  output_padding=1)
-        h = _stage_in_relu(h)
-    return _head_conv_tanh(h, params["out_conv"])
+        if i < 2:
+            h = _stage_in_relu(h)
+    # last stage norm rides inside the head conv (raw_in) — see _head_conv_tanh
+    return _head_conv_tanh(h, params["out_conv"], raw_in=True)
 
 
 def global_generator_fast_apply(params: Dict[str, Any], x: jnp.ndarray,

@@ -111,6 +111,109 @@ def head_conv_tanh_shift(x: jnp.ndarray, w: jnp.ndarray,
 
 
 # --------------------------------------------------------------------------- #
+# XLA variant: shift-channel conv with the PRECEDING IN+ReLU fused in.
+#
+# The engines' last stage is convT → IN → ReLU → head conv. With the
+# reflect-pad CONCAT structure above, XLA cannot fuse the normalize into the
+# head conv's input (concat producers block conv-input fusion), so the
+# normalize+ReLU materializes as a standalone 2-pass fusion — measured
+# 6.4 ms of the 104 ms headline engine (fusion.22 in
+# benchmarks/profile_headline_r5_postconv.json). This variant takes the RAW
+# stage tensor plus its IN statistics (ops.nn.instance_norm_stats) and makes
+# the main conv's input a pure elementwise expression — zero padding instead
+# of reflect — which XLA fuses into the conv (one HBM pass, like the
+# encoder's normalize→conv stages). Reflect-vs-zero padding only affects
+# outputs within 3 px of the border; those are recomputed exactly by four
+# tiny cout=1 strip convs on reflect-padded slices and pasted over (the
+# pasted tensor is the 1-channel output, 67 MB — concats are trivial).
+# Exact: interior windows never read padding (zero taps multiply zero pad),
+# borders come from the exact reflect strips.
+# --------------------------------------------------------------------------- #
+def head_conv_tanh_shift_prenorm(x: jnp.ndarray, mean: jnp.ndarray,
+                                 rsigma: jnp.ndarray, w: jnp.ndarray,
+                                 b: Optional[jnp.ndarray] = None,
+                                 act: str = "tanh",
+                                 block: int = 8) -> jnp.ndarray:
+    """relu(IN(x)) → 7×7 reflect conv to ONE channel (+ bias/tanh), with the
+    normalize+ReLU fused into the conv input instead of materialized.
+
+    ``mean``/``rsigma`` are fp32 (N,1,1,C) from
+    :func:`cistar_tpu.ops.nn.instance_norm_stats`. Bit-compatible with
+    ``relu(instance_norm(x))`` followed by :func:`head_conv_tanh_shift`
+    (same normalize math, same bf16 rounding point, same tap sums).
+    """
+    n, h, wd, cin = x.shape
+    k = w.shape[0]
+    p = k // 2
+    assert w.shape[3] == 1 and h % block == 0 and wd % block == 0 \
+        and h > 2 * block and wd > 2 * block
+    dt = x.dtype
+
+    def norm(v):
+        # normalize → cast to activation dtype → ReLU: the exact op order of
+        # relu(instance_norm(v)) so fused and unfused paths round alike.
+        return jnp.maximum(((v.astype(jnp.float32) - mean) * rsigma)
+                           .astype(dt), 0)
+
+    w0 = jnp.asarray(w[..., 0], jnp.float32)                    # (k, k, cin)
+    kern = jnp.stack(
+        [jnp.pad(w0, ((a, block - 1 - a), (bb, block - 1 - bb), (0, 0)))
+         for a in range(block) for bb in range(block)],
+        axis=-1).astype(dt)                      # (k+block-1,…,cin,block²)
+    # Main conv: zero padding, input = the lazy normalize expression (fuses).
+    planes = jax.lax.conv_general_dilated(
+        norm(x), kern, window_strides=(block, block),
+        padding=((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)       # (n, h/8, w/8, block²)
+    hb, wb = h // block, wd // block
+    y0 = jnp.transpose(planes.reshape(n, hb, wb, block, block),
+                       (0, 1, 3, 2, 4)).reshape(n, h, wd, 1)
+
+    # Exact reflect borders: four strip convs on normalized SLICES of x
+    # (slice first, normalize after — each strip's normalize fuses into its
+    # own tiny conv instead of forcing the full xn to materialize).
+    wfull = jnp.asarray(w, dt)
+
+    def conv_valid(v):
+        return jax.lax.conv_general_dilated(
+            v, wfull, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+
+    def row_strip(top: bool):
+        if top:
+            core, ghost = x[:, :2 * p], x[:, 1:p + 1][:, ::-1]
+            rows = jnp.concatenate([ghost, core], 1)        # rows −3..5
+        else:
+            core, ghost = x[:, h - 2 * p:], x[:, h - p - 1:h - 1][:, ::-1]
+            rows = jnp.concatenate([core, ghost], 1)        # rows h−6..h+2
+        rows = norm(rows)
+        left = rows[:, :, 1:p + 1][:, :, ::-1]
+        right = rows[:, :, wd - p - 1:wd - 1][:, :, ::-1]
+        return jnp.concatenate([left, rows, right], 2)      # (n,3p,wd+2p,c)
+
+    def col_strip(leftside: bool):
+        if leftside:
+            core, ghost = x[:, :, :2 * p], x[:, :, 1:p + 1][:, :, ::-1]
+            return norm(jnp.concatenate([ghost, core], 2))  # (n,h,3p,c)
+        core, ghost = x[:, :, wd - 2 * p:], x[:, :, wd - p - 1:wd - 1][:, :, ::-1]
+        return norm(jnp.concatenate([core, ghost], 2))
+
+    top = conv_valid(row_strip(True))                       # (n,p,wd,1)
+    bot = conv_valid(row_strip(False))
+    lcol = conv_valid(col_strip(True))                      # (n,h−2p,p,1)
+    rcol = conv_valid(col_strip(False))
+    mid = jnp.concatenate([lcol, y0[:, p:h - p, p:wd - p], rcol], 2)
+    y = jnp.concatenate([top, mid, bot], 1)
+    if b is not None:
+        y = y + jnp.asarray(b, jnp.float32)
+    if act == "tanh":
+        y = jnp.tanh(y)
+    return y.astype(dt)
+
+
+# --------------------------------------------------------------------------- #
 # XLA variant: tap-planes matmul + one-hot depthwise shift-add.
 # --------------------------------------------------------------------------- #
 def head_conv_tanh_xla(x: jnp.ndarray, w: jnp.ndarray,

@@ -167,6 +167,23 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5,
     return out.astype(x.dtype)
 
 
+def instance_norm_stats(x: jnp.ndarray, eps: float = 1e-5):
+    """IN statistics only: fp32 ``(mean, rsigma)`` of shape (N, 1, 1, C).
+
+    Split out so a consumer can apply the normalize lazily inside its own
+    fusion: ``(x - mean) * rsigma`` as a conv-input expression fuses into
+    the consuming convolution (one HBM pass), where ``instance_norm`` +
+    consumer materializes the normalized tensor (an extra read + write of
+    the full stage tensor — 6.4 ms at the headline engine's last stage).
+    Identical moment math to :func:`instance_norm`.
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    mean_sq = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True)
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    return mean, lax.rsqrt(var + eps)
+
+
 def batch_norm_inference(x, mean, var, gamma, beta, eps: float = 1e-5):
     """BatchNorm with given statistics (inference form), NHWC."""
     xf = x.astype(jnp.float32)

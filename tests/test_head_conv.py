@@ -78,6 +78,34 @@ def test_head_conv_shift_under_jit_with_param_weights(rng):
 
 
 @pytest.mark.fast
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("shape", [(2, 32, 32, 16), (1, 64, 40, 64),
+                                   (1, 48, 72, 8)])
+def test_head_conv_shift_prenorm_matches_reference(rng, dtype, shape):
+    """Fused IN+ReLU+head (zero-pad main conv + exact reflect border strips)
+    vs relu(instance_norm) → reflect conv → tanh."""
+    from cistar_tpu.ops.head_conv import head_conv_tanh_shift_prenorm
+    x, w, b = _mk(rng, *shape, dtype)
+    mean, rsigma = tnn.instance_norm_stats(x)
+    got = np.asarray(head_conv_tanh_shift_prenorm(x, mean, rsigma, w, b),
+                     np.float32)
+    want = np.asarray(_ref(x, w, b, pre_in=True), np.float32)
+    tol = 1e-5 if dtype == jnp.float32 else 5e-3
+    assert np.abs(got - want).max() < tol
+
+
+@pytest.mark.fast
+def test_head_conv_shift_prenorm_under_jit(rng):
+    from cistar_tpu.ops.head_conv import head_conv_tanh_shift_prenorm
+    x, w, b = _mk(rng, 1, 32, 32, 16, jnp.float32)
+    mean, rsigma = tnn.instance_norm_stats(x)
+    got = np.asarray(jax.jit(head_conv_tanh_shift_prenorm)(x, mean, rsigma,
+                                                           w, b), np.float32)
+    want = np.asarray(_ref(x, w, b, pre_in=True), np.float32)
+    assert np.abs(got - want).max() < 1e-5
+
+
+@pytest.mark.fast
 def test_head_conv_pallas_fused_pre_instance_norm(rng):
     x, w, b = _mk(rng, 2, 32, 32, 16, jnp.float32)
     got = np.asarray(head_conv_tanh_pallas(x, w, b, rows=32, pre_in=True,
