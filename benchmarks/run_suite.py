@@ -53,6 +53,125 @@ def _flops_of(jitted, *args) -> float:
         return 0.0
 
 
+_CODE_REV = None
+
+
+def _code_rev() -> str:
+    """Content hash over every cistar_tpu source file. Executable-cache keys
+    include it so ANY engine/op code change invalidates the cached binaries
+    (the bench.py ENGINE_REV lesson, generalized: a manually-bumped constant
+    is too easy to forget)."""
+    global _CODE_REV
+    if _CODE_REV is None:
+        import hashlib
+
+        root = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "cistar_tpu")
+        h = hashlib.sha256()
+        for dirpath, _, names in sorted(os.walk(root)):
+            for n in sorted(names):
+                if n.endswith(".py"):
+                    with open(os.path.join(dirpath, n), "rb") as f:
+                        h.update(f.read())
+        _CODE_REV = h.hexdigest()[:12]
+    return _CODE_REV
+
+
+def _flops_sidecar(key: str, compute):
+    """FLOPs for a cached executable. ``Compiled.cost_analysis`` is not
+    available on a deserialized executable, so the fresh-compile run stores
+    the number in a JSON sidecar next to the executable cache and warm runs
+    read it back instead of recompiling just for the cost model."""
+    import json as _json
+
+    path = os.path.join(os.path.expanduser("~/.cache/cistar_tpu"),
+                        "suite_flops.json")
+    try:
+        with open(path) as f:
+            table = _json.load(f)
+    except Exception:
+        table = {}
+    if key in table:
+        return float(table[key])
+    flops = compute()
+    if flops:
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            table[key] = flops
+            tmp = f"{path}.tmp{os.getpid()}"
+            with open(tmp, "w") as f:
+                _json.dump(table, f)
+            os.replace(tmp, path)
+        except Exception:
+            pass
+    return flops
+
+
+def _env_rev() -> str:
+    """Experimental kernel-path env flags must key the executable cache, or
+    a flag flip would silently reload the previous configuration's binary
+    (same rule as bench.py)."""
+    return (f":in{os.environ.get('CISTAR_FUSED_STAGE_IN', '0')}"
+            f":hd{os.environ.get('CISTAR_HEAD_KERNEL', '-')}")
+
+
+def _cost_flops(compiled) -> float:
+    try:
+        costs = compiled.cost_analysis()
+        if isinstance(costs, list):
+            costs = costs[0] if costs else {}
+        return float((costs or {}).get("flops", 0.0))
+    except Exception:  # deserialized executables don't carry the cost model
+        return 0.0
+
+
+def _cached_step(eng, key: str, *args):
+    """Compile ``type(eng).train_step(eng, *args)`` through the disk-backed
+    EXECUTABLE cache (``core.cache``), so warm suite re-runs skip the
+    98–248 s train-step compiles (VERDICT r4 #7). Returns
+    ``(step_over_dynamic_args, flops_per_call)``: on a fresh compile the
+    FLOPs come from the compiled object's cost model and are persisted to a
+    sidecar; on a warm (deserialized) run they come back from the sidecar —
+    no recompile just for the cost model. Falls back to the plain jitted
+    method on any cache failure so a bench run never breaks on cache
+    trouble."""
+    full_key = f"{key}:{_code_rev()}{_env_rev()}"
+    try:
+        from cistar_tpu.core.cache import exec_cache_compile
+
+        compiled = exec_cache_compile(type(eng).train_step, (eng, *args),
+                                      key=full_key, verbose=False)
+        step = lambda *a: compiled(*a)  # noqa: E731
+    except Exception:
+        compiled = None
+        step = lambda *a: type(eng).train_step(eng, *a)  # noqa: E731
+    # a deserialized executable has no cost model; if the sidecar is also
+    # gone, pay one _flops_of recompile and re-persist rather than lose MFU
+    flops = _flops_sidecar(key, lambda: (
+        (_cost_flops(compiled) if compiled is not None else 0.0)
+        or _flops_of(type(eng).train_step, eng, *args)))
+    return step, flops
+
+
+def _cached_jit(fn, key: str, *args):
+    """Same treatment for the suite's jitted inference fns. Returns
+    ``(fn_over_args, flops_per_call)`` with the same sidecar discipline as
+    :func:`_cached_step`."""
+    full_key = f"{key}:{_code_rev()}{_env_rev()}"
+    try:
+        from cistar_tpu.core.cache import exec_cache_compile
+
+        compiled = exec_cache_compile(fn, args, key=full_key, verbose=False)
+        wrapped = lambda *a: compiled(*a)  # noqa: E731
+    except Exception:
+        compiled = None
+        wrapped = fn
+    flops = _flops_sidecar(key, lambda: (
+        (_cost_flops(compiled) if compiled is not None else 0.0)
+        or _flops_of(fn, *args)))
+    return wrapped, flops
+
+
 def _mfu_fields(flops_per_call: float, items_per_call: float,
                 sec_per_call: float, engine: str = "bf16",
                 note: str = ""):
@@ -219,6 +338,12 @@ def bench_cyclegan_family_infer(gen_type: str, size: int = 512,
         return int8_apply(p, qb, x.astype(jnp.bfloat16)).astype(jnp.float32)
 
     bx = jnp.asarray(rng.rand(batch, size, size, 1).astype(np.float32) * 2 - 1)
+    infer_bf16, flops = _cached_jit(infer_bf16,
+                                    f"fam_bf16:{gen_type}:{size}:{dense}",
+                                    params, bx)
+    infer_int8, _ = _cached_jit(infer_int8,
+                                f"fam_int8:{gen_type}:{size}:{dense}",
+                                params, q, bx)
 
     def measure(f, *extra):
         x = f(*extra, bx)
@@ -233,7 +358,6 @@ def bench_cyclegan_family_infer(gen_type: str, size: int = 512,
 
     bf16 = measure(infer_bf16, params)
     ips = measure(infer_int8, params, q)
-    flops = _flops_of(infer_bf16, params, bx)
     tag = "dense" if (dense and gen_type.startswith("atrous")) else ""
     return {"metric": f"cyclegan_{gen_type}{tag}_{size}sq_int8_infer_"
                       "throughput",
@@ -258,16 +382,17 @@ def bench_cyclegan_train(size: int = 256, batch: int = 4, iters: int = 10):
     rng = np.random.RandomState(0)
     a = jnp.asarray(np.sign(rng.randn(batch, size, size, 1)).astype(np.float32))
     b = jnp.asarray(np.sign(rng.randn(batch, size, size, 1)).astype(np.float32))
-    state, m = eng.train_step(state, a, b)
+    step, flops = _cached_step(eng, f"suite_cyclegan:{size}:{batch}",
+                               state, a, b)
+    state, m = step(state, a, b)
     _sync(m)
-    state, m = eng.train_step(state, a, b)
+    state, m = step(state, a, b)
     _sync(m)
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, m = eng.train_step(state, a, b)
+        state, m = step(state, a, b)
     _sync(m)
     dt = (time.perf_counter() - t0) / iters
-    flops = _flops_of(type(eng).train_step, eng, state, a, b)
     return {"metric": f"cyclegan_{size}sq_train_step_images_per_sec",
             "value": round(batch / dt, 1), "unit": "images/sec/chip",
             **_no_baseline("reference publishes no training throughput"),
@@ -299,19 +424,21 @@ def bench_p2phd_train(size: int, net_g: str, num_d: int, iters: int = 5,
     rng = np.random.RandomState(0)
     label = jnp.asarray(rng.rand(1, size, size, 1).astype(np.float32) * 2 - 1)
     image = jnp.asarray(rng.rand(1, size, size, 1).astype(np.float32) * 2 - 1)
-    state, m, _ = eng.train_step(state, label, None, image)
+    mfu_engine = "fp32" if compute_dtype == jnp.float32 else "bf16"
+    key = f"suite_p2phd:{net_g}:{size}:{num_d}:{mfu_engine}"
+    step, flops = _cached_step(eng, key, state, label, None, image)
+    state, m, _ = step(state, label, None, image)
     _sync(m)
     compile_s = round(_t.perf_counter() - t_compile, 1)
-    state, m, _ = eng.train_step(state, label, None, image)
+    state, m, _ = step(state, label, None, image)
     _sync(m)
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, m, _ = eng.train_step(state, label, None, image)
+        state, m, _ = step(state, label, None, image)
     _sync(m)
     dt = (time.perf_counter() - t0) / iters
-    flops = _flops_of(type(eng).train_step, eng, state, label, None, image)
-    mfu_engine = "fp32" if compute_dtype == jnp.float32 else "bf16"
-    return {"metric": f"p2phd_{net_g}_{size}sq_train_step_seconds",
+    tag = "_fp32" if mfu_engine == "fp32" else ""
+    return {"metric": f"p2phd_{net_g}_{size}sq_train_step_seconds{tag}",
             "value": round(dt, 4), "unit": "s/step",
             **_no_baseline("reference publishes no training throughput"),
             **_mfu_fields(flops, 1, dt, engine=mfu_engine,
@@ -354,6 +481,12 @@ def bench_p2phd_infer(size: int = 512, batch: int = 16, iters: int = 10,
 
     batch_x = jnp.asarray(rng.rand(batch, size, size, 1)
                           .astype(np.float32) * 2 - 1)
+    infer_bf16, flops = _cached_jit(
+        infer_bf16, f"p2phd_inf_bf16:{size}:{ngf}:{n_downsampling}",
+        params, batch_x)
+    infer_int8, _ = _cached_jit(
+        infer_int8, f"p2phd_inf_int8:{size}:{ngf}:{n_downsampling}",
+        params, qblocks, batch_x)
 
     def measure(f, *extra):
         x = f(*extra, batch_x)
@@ -371,7 +504,6 @@ def bench_p2phd_infer(size: int = 512, batch: int = 16, iters: int = 10,
         ips = measure(infer_int8, params, qblocks)
     else:
         ips = bf16
-    flops = _flops_of(infer_bf16, params, batch_x)
     return {"metric": f"p2phd_global_{size}sq_{engine}_infer_throughput",
             "value": round(ips, 1), "unit": "images/sec/chip",
             **_no_baseline("reference publishes no TRT throughput"),
@@ -395,10 +527,12 @@ CONFIGS = {
     "p2phd1024": lambda: bench_p2phd_train(1024, "local", 3),
     "p2phd512_int8": lambda: bench_p2phd_infer(512, engine="int8"),
     "unet512_int8": lambda: bench_unet_infer(512),
-    # the shipped r2l_MSRB_7 recipe at its true resolution (fp32, 512²) —
-    # evidence that the heaviest train-step program compiles and steps
-    "unet512_train": lambda: bench_p2phd_train(512, "UNet", 2, iters=3,
-                                               compute_dtype="float32"),
+    # the shipped r2l_MSRB_7 recipe at its true resolution — bf16 compute
+    # (the shipped default since r5; parity: benchmarks/bf16_train_overlay)
+    "unet512_train": lambda: bench_p2phd_train(512, "UNet", 2, iters=3),
+    # fp32 opt-out of the same recipe, kept for the bf16-vs-fp32 record
+    "unet512_train_fp32": lambda: bench_p2phd_train(
+        512, "UNet", 2, iters=3, compute_dtype="float32"),
     "p2phd1024_int8": lambda: bench_local_infer(1024),
     # the remaining CycleGAN int8 families (VERDICT r3 #3)
     "bilinear512_int8": lambda: bench_cyclegan_family_infer(
@@ -436,6 +570,11 @@ def bench_local_infer(size: int = 1024, batch: int = 4, iters: int = 10):
         return local_enhancer_int8_apply(
             p, qb, x.astype(jnp.bfloat16)).astype(jnp.float32)
 
+    infer_bf16, flops = _cached_jit(infer_bf16, f"local_inf_bf16:{size}",
+                                    params, bx)
+    infer_int8, _ = _cached_jit(infer_int8, f"local_inf_int8:{size}",
+                                params, q, bx)
+
     def measure(f, *extra):
         x = f(*extra, bx)
         _sync(x)
@@ -449,7 +588,6 @@ def bench_local_infer(size: int = 1024, batch: int = 4, iters: int = 10):
 
     bf16 = measure(infer_bf16, params)
     ips = measure(infer_int8, params, q)
-    flops = _flops_of(infer_bf16, params, bx)
     return {"metric": f"p2phd_local_{size}sq_int8_infer_throughput",
             "value": round(ips, 1), "unit": "images/sec/chip",
             **_no_baseline("reference publishes no TRT throughput"),
@@ -487,6 +625,11 @@ def bench_unet_infer(size: int = 512, batch: int = 8, iters: int = 10):
         return unet_msrb_int8_apply(p, qb, x.astype(jnp.bfloat16),
                                     3).astype(jnp.float32)
 
+    infer_bf16, flops = _cached_jit(infer_bf16, f"unet_inf_bf16:{size}",
+                                    params, bx)
+    infer_int8, _ = _cached_jit(infer_int8, f"unet_inf_int8:{size}",
+                                params, q, bx)
+
     def measure(f, *extra):
         x = f(*extra, bx)
         _sync(x)
@@ -500,7 +643,6 @@ def bench_unet_infer(size: int = 512, batch: int = 8, iters: int = 10):
 
     bf16 = measure(infer_bf16, params)
     ips = measure(infer_int8, params, q)
-    flops = _flops_of(infer_bf16, params, bx)
     return {"metric": f"p2phd_unet_msrb_{size}sq_int8_infer_throughput",
             "value": round(ips, 1), "unit": "images/sec/chip",
             **_no_baseline("reference publishes no TRT throughput"),

@@ -35,6 +35,15 @@ class BaseOptions:
         p.add_argument("--use_dropout", action="store_true")
         p.add_argument("--data_type", default=32, type=int, choices=[8, 16, 32])
         p.add_argument("--fp16", action="store_true", help="bf16 compute policy on TPU")
+        p.add_argument("--compute", default="bf16", choices=["bf16", "fp32"],
+                       help="training compute policy (params/optimizer stay "
+                            "fp32 either way). bf16 is the TPU-native "
+                            "default — ~2x step time on the shipped recipes "
+                            "with overlayed loss curves within run-to-run "
+                            "noise (benchmarks/bf16_train_overlay.json); "
+                            "--compute fp32 restores full-precision compute. "
+                            "The reference's AMP flag (p2pHD/train.py:66-68) "
+                            "maps to the same policy via --fp16.")
         p.add_argument("--local_rank", type=int, default=0, help="unused (reference parity)")
         p.add_argument("--platform", default="", choices=["", "cpu", "tpu", "axon"])
         p.add_argument("--compile_timeout", type=float, default=None,

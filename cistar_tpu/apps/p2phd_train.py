@@ -91,8 +91,12 @@ def main(argv=None):
         lr=opt.lr, beta1=opt.beta1, niter=opt.niter, niter_decay=opt.niter_decay,
         niter_fix_global=opt.niter_fix_global, pool_size=opt.pool_size,
         image_size=size,
-        compute_dtype=jnp.bfloat16 if (opt.fp16 or opt.data_type == 16)
-        else jnp.float32,
+        # bf16 is the shipped default (VERDICT r4 #2; parity evidence in
+        # benchmarks/bf16_train_overlay.json). --compute fp32 opts out;
+        # the reference-parity flags (--fp16 / --data_type 16) force bf16.
+        compute_dtype=jnp.float32 if (getattr(opt, "compute", "bf16") == "fp32"
+                                      and not (opt.fp16 or opt.data_type == 16))
+        else jnp.bfloat16,
     )
     state = engine.init_state(jax.random.PRNGKey(0), image_size=size)
     if opt.continue_train or opt.load_pretrain:

@@ -272,15 +272,18 @@ class CycleGAN:
         trunk, 'atrous*' and 'unet*' the plain res trunk between their
         encoders and skip-concat decoders (the skip activations stay bf16)."""
         from cistar_tpu.models.fast_infer import (quantize_bilinear_trunk,
-                                                  quantize_multiscale_trunk)
+                                                  quantize_multiscale_trunk,
+                                                  quantize_unet_trunk)
         from cistar_tpu.ops.quant_pallas import quantize_resnet_trunk
 
         if self.gen_type.startswith("p2p"):
             fn = lambda p: quantize_resnet_trunk(p, self.n_residual_blocks)
         elif self.gen_type.startswith("bilinear"):
             fn = lambda p: quantize_bilinear_trunk(p, self.n_residual_blocks)
-        elif self.gen_type.startswith(("atrous", "unet")):
+        elif self.gen_type.startswith("atrous"):
             fn = lambda p: quantize_multiscale_trunk(p, self.n_residual_blocks)
+        elif self.gen_type.startswith("unet"):
+            fn = lambda p: quantize_unet_trunk(p, self.n_residual_blocks)
         else:
             raise NotImplementedError(
                 f"no int8 inference engine for gen_type='{self.gen_type}' "

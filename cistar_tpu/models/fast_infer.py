@@ -400,13 +400,30 @@ def _multi_atrous_conv(p: Dict[str, Any], x: jnp.ndarray, stride: int = 1,
     return out
 
 
-def quantize_bilinear_trunk(params: Dict[str, Any],
-                            n_residual_blocks: int = 6):
-    """Quantize the atrous res trunk of a ``MultiscaleBilinearGenerator``."""
-    from cistar_tpu.ops.quant_pallas import quantize_atrous_resblock
+def _q_parts(qblocks):
+    """Back-compat split of a quantized-tree argument: round-4 callers pass
+    the bare res-trunk list; round-5 quantizers return a dict that also
+    carries the fused encoder stages."""
+    if isinstance(qblocks, dict):
+        return qblocks["res"], qblocks.get("enc")
+    return qblocks, None
 
-    return [quantize_atrous_resblock(params[f"res_{i}"])
-            for i in range(n_residual_blocks)]
+
+def quantize_bilinear_trunk(params: Dict[str, Any],
+                            n_residual_blocks: int = 6,
+                            down_sample: int = 3):
+    """Quantize a ``MultiscaleBilinearGenerator``: the atrous res trunk plus
+    (round 5) the ``MultiAtrousConv`` encoder stages, which run as fused
+    single-pass int8 stage kernels (``quant_pallas.multi_atrous_stage_int8``
+    — the r4 profile showed these thin models are IN/layout-bound, so the
+    win is collapsing each stage's ~12 HBM passes into one)."""
+    from cistar_tpu.ops.quant_pallas import (quantize_atrous_resblock,
+                                             quantize_multi_atrous_stage)
+
+    return {"res": [quantize_atrous_resblock(params[f"res_{i}"])
+                    for i in range(n_residual_blocks)],
+            "enc": [quantize_multi_atrous_stage(params[f"down_{i}"])
+                    for i in range(down_sample)]}
 
 
 def bilinear_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
@@ -416,40 +433,52 @@ def bilinear_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
                                         expect_kernel: bool = False
                                         ) -> jnp.ndarray:
     """``MultiscaleBilinearGenerator`` (the CLI-default ``bilinear_content``
-    family, ``CycleGAN/models.py:547-624``) with its atrous res trunk on the
-    int8 MXU (``quant_pallas.atrous_resblock_chain_int8``). Encoder branches
-    and the bilinear-upsample decoder run bf16 XLA; same param tree as the
-    linen model."""
-    from cistar_tpu.ops.quant_pallas import atrous_resblock_chain_int8
+    family, ``CycleGAN/models.py:547-624``) with its atrous res trunk AND
+    (round 5) its encoder stages on the int8 MXU; the bilinear-upsample
+    decoder runs bf16 XLA and the 7×7 head uses the shift-channel conv with
+    the last stage IN fused (the flagship-engine treatment). Same param
+    tree as the linen model."""
+    from cistar_tpu.ops.quant_pallas import (atrous_resblock_chain_int8,
+                                             multi_atrous_stage_int8)
 
+    qres, qenc = _q_parts(qblocks)
     p = params["init_conv"]
     h = tnn.conv2d_reflect(x, p["w"], p.get("b"))
     h = tnn.relu(tnn.instance_norm(h))
     skips = []
     for i in range(down_sample):
-        h = _multi_atrous_conv(params[f"down_{i}"], h, stride=2)
+        if qenc is not None:
+            h = multi_atrous_stage_int8(h, qenc[i],
+                                        expect_kernel=expect_kernel)
+        else:
+            h = _multi_atrous_conv(params[f"down_{i}"], h, stride=2)
         skips.append(h)
-    h = atrous_resblock_chain_int8(h, qblocks, expect_kernel=expect_kernel)
+    h = atrous_resblock_chain_int8(h, qres, expect_kernel=expect_kernel)
     for i in range(down_sample):
         skip = skips[down_sample - 1 - i]
         h = jnp.concatenate([h, skip], axis=-1)
         p = params[f"up_{i}"]["conv"]
         h = tnn.upsample_bilinear(h, 2)
         h = tnn.conv2d(h, p["w"], p.get("b"), padding=1)
-        h = tnn.relu(tnn.instance_norm(h))
-    p = params["out_conv"]
-    h = tnn.conv2d_reflect(h, p["w"], p.get("b"))
-    return tnn.tanh(h)
+        if i < down_sample - 1:
+            h = tnn.relu(tnn.instance_norm(h))
+    # last stage norm rides inside the head conv — see _head_conv_tanh
+    return _head_conv_tanh(h, params["out_conv"], raw_in=True)
 
 
 def quantize_multiscale_trunk(params: Dict[str, Any],
-                              n_residual_blocks: int = 6):
-    """Quantize the PLAIN res trunk of a ``MultiscaleGenerator`` /
-    ``MultiscaleDenseDecoderGenerator`` (atrous encoder, dense res blocks)."""
-    from cistar_tpu.ops.quant_pallas import quantize_resblock
+                              n_residual_blocks: int = 6,
+                              down_sample: int = 3):
+    """Quantize a ``MultiscaleGenerator`` / ``MultiscaleDenseDecoder``:
+    the plain res trunk plus (round 5) the atrous encoder stages (fused
+    single-pass int8 stage kernels, see :func:`quantize_bilinear_trunk`)."""
+    from cistar_tpu.ops.quant_pallas import (quantize_multi_atrous_stage,
+                                             quantize_resblock)
 
-    return [quantize_resblock(params[f"res_{i}"])
-            for i in range(n_residual_blocks)]
+    return {"res": [quantize_resblock(params[f"res_{i}"])
+                    for i in range(n_residual_blocks)],
+            "enc": [quantize_multi_atrous_stage(params[f"down_{i}"])
+                    for i in range(down_sample)]}
 
 
 def multiscale_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
@@ -460,19 +489,25 @@ def multiscale_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
                                           expect_kernel: bool = False
                                           ) -> jnp.ndarray:
     """``GeneratorMultiscale(DenseDecoder)`` (``CycleGAN/models.py:222-325``,
-    'atrous' family) with the plain res trunk on the int8 MXU
-    (``quant_pallas.resblock_chain_int8_bf16io``). The atrous encoder and
-    the (dense ConvT or atrous-transpose) decoder run bf16 XLA."""
-    from cistar_tpu.ops.quant_pallas import resblock_chain_int8_bf16io
+    'atrous' family) with the plain res trunk AND (round 5) the atrous
+    encoder stages on the int8 MXU. The (dense ConvT or atrous-transpose)
+    decoder runs bf16 XLA."""
+    from cistar_tpu.ops.quant_pallas import (multi_atrous_stage_int8,
+                                             resblock_chain_int8_bf16io)
 
+    qres, qenc = _q_parts(qblocks)
     p = params["init_conv"]
     h = tnn.conv2d_reflect(x, p["w"], p.get("b"))
     h = tnn.relu(tnn.instance_norm(h))
     skips = []
     for i in range(down_sample):
-        h = _multi_atrous_conv(params[f"down_{i}"], h, stride=2)
+        if qenc is not None:
+            h = multi_atrous_stage_int8(h, qenc[i],
+                                        expect_kernel=expect_kernel)
+        else:
+            h = _multi_atrous_conv(params[f"down_{i}"], h, stride=2)
         skips.append(h)
-    h = resblock_chain_int8_bf16io(h, qblocks, expect_kernel=expect_kernel)
+    h = resblock_chain_int8_bf16io(h, qres, expect_kernel=expect_kernel)
     for i in range(down_sample):
         skip = skips[down_sample - 1 - i]
         h = jnp.concatenate([h, skip], axis=-1)
@@ -481,7 +516,8 @@ def multiscale_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
             p = up["convt"]
             h = tnn.conv_transpose2d(h, p["w"], p.get("b"), stride=2,
                                      padding=1, output_padding=1)
-            h = tnn.relu(tnn.instance_norm(h))
+            if i < down_sample - 1:
+                h = tnn.relu(tnn.instance_norm(h))
         else:
             # MultiAtrousTransposeConv: 4 dilated ConvT branches producing
             # C/4 each, IN per branch, concat + ReLU (models.py:361-391)
@@ -493,9 +529,10 @@ def multiscale_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
                                           dilation=r)
                 outs.append(tnn.instance_norm(hh))
             h = tnn.relu(jnp.concatenate(outs, axis=-1))
-    p = params["out_conv"]
-    h = tnn.conv2d_reflect(h, p["w"], p.get("b"))
-    return tnn.tanh(h)
+    if dense_decoder:
+        # last stage norm rides inside the head conv — see _head_conv_tanh
+        return _head_conv_tanh(h, params["out_conv"], raw_in=True)
+    return _head_conv_tanh(h, params["out_conv"])
 
 
 def unet_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
@@ -513,9 +550,10 @@ def unet_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
     quantized trunk); the N bottleneck residual blocks run in the fused int8
     chain (``quant_pallas.resblock_chain_int8_bf16io``). Closes the last
     int8 tier gap (VERDICT r4 #5); quantize with
-    :func:`quantize_multiscale_trunk` (identical trunk layout)."""
+    :func:`quantize_unet_trunk`."""
     from cistar_tpu.ops.quant_pallas import resblock_chain_int8_bf16io
 
+    qres, _ = _q_parts(qblocks)
     p = params["init_conv"]
     h = tnn.conv2d_reflect(x, p["w"], p.get("b"))
     h = tnn.relu(tnn.instance_norm(h))
@@ -525,17 +563,26 @@ def unet_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
         h = tnn.conv2d(h, p["w"], p.get("b"), stride=2, padding=1)
         h = tnn.relu(tnn.instance_norm(h))
         skips.append(h)
-    h = resblock_chain_int8_bf16io(h, qblocks, expect_kernel=expect_kernel)
+    h = resblock_chain_int8_bf16io(h, qres, expect_kernel=expect_kernel)
     for i in range(down_sample):
         skip = skips[down_sample - 1 - i]
         h = jnp.concatenate([h, skip], axis=-1)
         p = params[f"up_{i}"]["convt"]
         h = tnn.conv_transpose2d(h, p["w"], p.get("b"), stride=2, padding=1,
                                  output_padding=1)
-        h = tnn.relu(tnn.instance_norm(h))
-    p = params["out_conv"]
-    h = tnn.conv2d_reflect(h, p["w"], p.get("b"))
-    return tnn.tanh(h)
+        if i < down_sample - 1:
+            h = tnn.relu(tnn.instance_norm(h))
+    # last stage norm rides inside the head conv — see _head_conv_tanh
+    return _head_conv_tanh(h, params["out_conv"], raw_in=True)
+
+
+def quantize_unet_trunk(params: Dict[str, Any], n_residual_blocks: int = 6):
+    """Quantize the plain bottleneck res trunk of a ``UnetGenerator``
+    (strided-conv encoder — no atrous stages to fuse)."""
+    from cistar_tpu.ops.quant_pallas import quantize_resblock
+
+    return [quantize_resblock(params[f"res_{i}"])
+            for i in range(n_residual_blocks)]
 
 
 def quantize_multiscale_global(params: Dict[str, Any], stats: Dict[str, Any],

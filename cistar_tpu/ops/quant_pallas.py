@@ -1063,3 +1063,163 @@ def atrous_resblock_chain_int8(x: jnp.ndarray,
         else:
             hx = _atrous_resblock_int8_emulate(hx, qblk, rates, eps)
     return hx
+
+
+# --------------------------------------------------------------------------- #
+# Multi-atrous ENCODER-STAGE int8 kernel — the downsampling stages of the
+# CycleGAN multiscale families (``MultiAtrousConv`` stride 2,
+# ``CycleGAN/models.py:329-359``): four parallel dilated 3x3 convs (rates
+# 2/4/6/8, zero pad = rate), each IN+ReLU'd, then SUMMED. The r4 profile
+# showed these 16/32/64-feature models are IN/layout-bound at ~13% bf16 MFU
+# (12 of the top-25 ops are convert+reduce IN fusions), so the lever is one
+# whole-stage HBM pass, not more MXU.
+#
+# Key structural fact: with stride 2 and EVEN rates, every tap lands on an
+# even coordinate (2i - r + r·dy ≡ 0 mod 2), so the stage NEVER reads the
+# odd-coordinate pixels of its input. The whole stage is therefore exactly
+# a stride-1 atrous stage with HALVED rates (1,2,3,4) on the 2x-subsampled
+# image — the same shifted-matmul structure as the (compiling, shipping)
+# atrous residual kernel above, with cin≠cout and no reflect conv/skip.
+# --------------------------------------------------------------------------- #
+def quantize_multi_atrous_stage(stage: Dict[str, Any],
+                                rates: Tuple[int, ...] = (2, 4, 6, 8)
+                                ) -> Dict[str, jnp.ndarray]:
+    """Quantize one ``MultiAtrousConv`` param subtree (``b{i}_conv``
+    branches, each (3,3,cin,cout))."""
+    wqs, rows = [], []
+    cout = None
+    for i in range(len(rates)):
+        wq, s = _quantize_kernel_taps(stage[f"b{i}_conv"]["w"])
+        cout = wq.shape[-1]
+        b = jnp.asarray(stage[f"b{i}_conv"].get("b", jnp.zeros(cout)),
+                        jnp.float32)
+        wqs.append(wq)
+        rows.extend([s, b])
+    return {"wbq": jnp.stack(wqs, axis=0),            # (R, 9, cin, cout) int8
+            "sb": jnp.stack(rows, axis=0)}            # (2R, cout) fp32
+
+
+def atrous_stage_fits(h: int, w: int, cin: int, cout: int,
+                      max_r2: int = 4) -> bool:
+    """VMEM model: fp32 input + int8 copy + one padded branch + int32 acc +
+    fp32 branch + running sum + the four weight blocks."""
+    pad_elems = (h + 2 * max_r2) * (w + 2 * max_r2) * cin
+    elems = h * w * (cin * 6 + cout * 8) + pad_elems \
+        + 4 * 9 * cin * cout + 8 * cout
+    return elems <= 13 * 1024 * 1024 and h > 2 * max_r2 and w > 2 * max_r2
+
+
+def _multi_atrous_stage_int8_kernel(x_ref, wb_ref, sb_ref, out_ref, *,
+                                    h: int, w: int, cin: int, cout: int,
+                                    rates2: Tuple[int, ...], eps: float):
+    hw = h * w
+    xf = x_ref[0].astype(jnp.float32)                  # (h, w, cin)
+    xq2d, x_scale = _quant_vmem(xf.reshape(hw, cin))
+    xq = xq2d.reshape(h, w, cin)
+    ssum = jnp.zeros((hw, cout), jnp.float32)
+    for bi, r in enumerate(rates2):
+        xp = _zero_pad2d(xq, h, w, r)
+        acc = jnp.zeros((hw, cout), jnp.int32)
+        for k in range(9):
+            dy, dx = (k // 3) * r, (k % 3) * r
+            patch = xp[dy:dy + h, dx:dx + w, :].reshape(hw, cin)
+            acc = acc + jnp.dot(patch, wb_ref[bi, k],
+                                preferred_element_type=jnp.int32)
+        f = acc.astype(jnp.float32) * (x_scale * sb_ref[2 * bi][None, :]) \
+            + sb_ref[2 * bi + 1][None, :]
+        ssum = ssum + jnp.maximum(_inorm(f, hw, eps), 0.0)
+    out_ref[0] = ssum.reshape(h, w, cout).astype(out_ref.dtype)
+
+
+def _run_multi_atrous_stage_int8(xs: jnp.ndarray,
+                                 qstage: Dict[str, jnp.ndarray],
+                                 rates2: Tuple[int, ...], eps: float = _EPS,
+                                 interpret: bool = False):
+    n, h, w, cin = xs.shape
+    nr = len(rates2)
+    cout = qstage["wbq"].shape[-1]
+    kernel = functools.partial(_multi_atrous_stage_int8_kernel, h=h, w=w,
+                               cin=cin, cout=cout, rates2=rates2, eps=eps)
+    x_spec = pl.BlockSpec((1, h, w, cin), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, h, w, cout), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    wb_spec = pl.BlockSpec((nr, 9, cin, cout), lambda i: (0, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    sb_spec = pl.BlockSpec((2 * nr, cout), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[x_spec, wb_spec, sb_spec],
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((n, h, w, cout), xs.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w * 9 * cin * cout * nr,
+            bytes_accessed=n * h * w * (cin + cout) * xs.dtype.itemsize
+            + nr * 9 * cin * cout,
+            transcendentals=0),
+        interpret=interpret,
+    )(xs, qstage["wbq"], qstage["sb"])
+
+
+def _multi_atrous_stage_int8_emulate(xs, qstage, rates2, eps=_EPS):
+    """Identical int8 math via XLA (CPU tests / oversized stages)."""
+    n, h, w, cin = xs.shape
+    hw = h * w
+    cout = qstage["wbq"].shape[-1]
+    sb = qstage["sb"]
+    xf = xs.astype(jnp.float32).reshape(n, hw, cin)
+    amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=(1, 2), keepdims=True), 1e-6)
+    xq = jnp.clip(jnp.round(xf * (127.0 / amax)), -127, 127).astype(jnp.int8)
+    x_scale = amax / 127.0
+    xq4 = xq.reshape(n, h, w, cin)
+    ssum = jnp.zeros((n, hw, cout), jnp.float32)
+    for bi, r in enumerate(rates2):
+        xp = jnp.pad(xq4, ((0, 0), (r, r), (r, r), (0, 0)))
+        acc = jnp.zeros((n, hw, cout), jnp.int32)
+        for k in range(9):
+            dy, dx = (k // 3) * r, (k % 3) * r
+            patch = xp[:, dy:dy + h, dx:dx + w, :].reshape(n, hw, cin)
+            acc = acc + jnp.einsum("npi,io->npo", patch.astype(jnp.int32),
+                                   qstage["wbq"][bi].astype(jnp.int32)[k])
+        f = acc.astype(jnp.float32) * (x_scale * sb[2 * bi][None, None, :]) \
+            + sb[2 * bi + 1][None, None, :]
+        mean = jnp.mean(f, axis=1, keepdims=True)
+        var = jnp.maximum(jnp.mean(f * f, axis=1, keepdims=True)
+                          - mean * mean, 0.0)
+        ssum = ssum + jnp.maximum((f - mean) * jax.lax.rsqrt(var + eps), 0.0)
+    return ssum.reshape(n, h, w, cout).astype(xs.dtype)
+
+
+def multi_atrous_stage_int8(x: jnp.ndarray, qstage: Dict[str, jnp.ndarray],
+                            rates: Tuple[int, ...] = (2, 4, 6, 8),
+                            stride: int = 2, eps: float = _EPS,
+                            interpret: bool = False,
+                            force_emulate: bool = False,
+                            expect_kernel: bool = False) -> jnp.ndarray:
+    """One ``MultiAtrousConv`` downsampling stage in a single HBM pass.
+
+    ``x`` is the (n, H, W, cin) full-resolution stage input; returns the
+    (n, H/2, W/2, cout) stage output ``Σ_r relu(IN(atrous_conv_r(x)))``
+    (``CycleGAN/models.py:329-359``). Exactness: stride 2 + even rates read
+    only even coordinates, so the kernel runs halved rates on
+    ``x[:, ::2, ::2]`` — identical tap values, identical IN statistics."""
+    if stride != 2 or any(r % 2 for r in rates):
+        raise NotImplementedError("stage kernel requires stride=2 and even "
+                                  f"rates; got stride={stride} rates={rates}")
+    xs = x[:, ::2, ::2, :]
+    n, h, w, cin = xs.shape
+    cout = qstage["wbq"].shape[-1]
+    rates2 = tuple(r // 2 for r in rates)
+    use_kernel = (interpret or _on_tpu()) and not force_emulate \
+        and atrous_stage_fits(h, w, cin, cout, max(rates2))
+    if not force_emulate:
+        _check_kernel_path(
+            "multi_atrous_stage_int8", use_kernel, expect_kernel,
+            "not on TPU" if not (interpret or _on_tpu())
+            else f"stage ({h}x{w}x{cin}->{cout}) exceeds the VMEM budget")
+    if use_kernel:
+        return _run_multi_atrous_stage_int8(xs, qstage, rates2, eps,
+                                            interpret)
+    return _multi_atrous_stage_int8_emulate(xs, qstage, rates2, eps)

@@ -402,3 +402,56 @@ def test_conv7_cout1_masked_and_loop_variants_match_reflect_conv():
         y = fn(x, w, None, act="none", rows=16, interpret=True)
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.fast
+def test_multi_atrous_stage_kernel_matches_emulation_and_fp32():
+    """Fused encoder-stage kernel (round 5): interpret-mode kernel ≡ XLA
+    emulation, and the emulation tracks the fp32 ``MultiAtrousConv``
+    stride-2 stage within quantization noise. Also pins the structural
+    fact the kernel exploits: even rates + stride 2 read only the
+    even-coordinate pixels, so halved rates on the subsampled image are
+    EXACT in fp32."""
+    from cistar_tpu.ops import nn as tnn
+    from cistar_tpu.ops.blocks import MultiAtrousConv
+    from cistar_tpu.ops.quant_pallas import (
+        _multi_atrous_stage_int8_emulate, _run_multi_atrous_stage_int8,
+        multi_atrous_stage_int8, quantize_multi_atrous_stage)
+
+    cin, cout, h, w = 16, 32, 48, 48
+    mod = MultiAtrousConv(cout, stride=2)
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, h, w, cin).astype(np.float32) * 0.5)
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+
+    # 1) fp32 subsample equivalence: conv(stride=2, rate=r, pad=r) ==
+    #    conv(stride=1, rate=r/2, pad=r/2) on x[::2, ::2] — per branch
+    xs = x[:, ::2, ::2, :]
+    for i, r in enumerate((2, 4, 6, 8)):
+        wb = params[f"b{i}_conv"]["w"]
+        full = tnn.conv2d(x, wb, None, stride=2, padding=r, dilation=r)
+        sub = tnn.conv2d(xs, wb, None, stride=1, padding=r // 2,
+                         dilation=r // 2)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(sub),
+                                   rtol=1e-5, atol=1e-5)
+
+    # 2) interpret-mode kernel ≡ emulation
+    q = quantize_multi_atrous_stage(params)
+    y_kernel = _run_multi_atrous_stage_int8(xs, q, (1, 2, 3, 4),
+                                            interpret=True)
+    y_emul = _multi_atrous_stage_int8_emulate(xs, q, (1, 2, 3, 4))
+    np.testing.assert_allclose(np.asarray(y_kernel), np.asarray(y_emul),
+                               rtol=1e-4, atol=1e-4)
+
+    # 3) public wrapper (emulation path off-TPU) tracks the fp32 stage
+    y_pub = multi_atrous_stage_int8(x, q)
+    y_ref = mod.apply({"params": params}, x)
+    assert y_pub.shape == y_ref.shape == (2, h // 2, w // 2, cout)
+    err = float(jnp.max(jnp.abs(y_pub - y_ref)))
+    assert err < 0.35, err  # post-IN+ReLU sum of 4 branches, int8 noise
+
+    # 4) odd rates / stride 1 must refuse rather than mis-handle
+    with pytest.raises(NotImplementedError):
+        multi_atrous_stage_int8(x, q, rates=(1, 2, 3, 4))
+    with pytest.raises(NotImplementedError):
+        multi_atrous_stage_int8(x, q, stride=1)

@@ -41,8 +41,17 @@ def build(config: str, dtype):
                         .astype(np.float32))
         b = jnp.asarray(np.sign(rng.randn(batch, size, size, 1))
                         .astype(np.float32))
-        return lambda: eng.train_step(state, a, b), dict(size=size,
-                                                         batch=batch)
+        # same executable-cache key as benchmarks/run_suite.py so profiles
+        # and suite runs share compiled binaries (identical engine + shapes)
+        from benchmarks.run_suite import _cached_step
+        step_c, _ = _cached_step(eng, f"suite_cyclegan:{size}:{batch}",
+                                 state, a, b)
+        hold = {"s": state}  # train_step DONATES the state buffer; thread it
+
+        def step():
+            hold["s"], m = step_c(hold["s"], a, b)
+            return m
+        return step, dict(size=size, batch=batch)
 
     from cistar_tpu.engines.p2phd import Pix2PixHD
     from cistar_tpu.losses.perceptual import make_vgg_loss
@@ -58,8 +67,20 @@ def build(config: str, dtype):
     state = eng.init_state(jax.random.PRNGKey(0), image_size=size)
     label = jnp.asarray(rng.rand(1, size, size, 1).astype(np.float32) * 2 - 1)
     image = jnp.asarray(rng.rand(1, size, size, 1).astype(np.float32) * 2 - 1)
-    return lambda: eng.train_step(state, label, None, image), dict(
-        size=size, batch=1, net_g=net_g, num_d=num_d)
+    from benchmarks.run_suite import _cached_step
+    mfu_engine = "bf16" if dtype == jnp.bfloat16 else "fp32"
+    step_c, _ = _cached_step(eng, f"suite_p2phd:{net_g}:{size}:{num_d}:"
+                             f"{mfu_engine}", state, label, None, image)
+    hold = {"s": state}  # train_step DONATES the state buffer; thread it
+
+    def step():
+        hold["s"], m, _ = step_c(hold["s"], label, None, image)
+        return m
+
+    def lower():
+        return type(eng).train_step.lower(eng, state, label, None, image)
+    return step, dict(size=size, batch=1, net_g=net_g, num_d=num_d,
+                      lower=lower)
 
 
 def main():
@@ -80,12 +101,14 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     step, meta = build(args.config, dtype)
     if args.dump_hlo:
-        # the engines jit internally; lower via a wrapper trace
-        import jax
-        txt = jax.jit(lambda: step()).lower().compile().as_text()
+        lower = meta.pop("lower", None)
+        if lower is None:
+            p.error("--dump_hlo is only supported for the p2phd configs")
+        txt = lower().compile().as_text()
         with open(args.dump_hlo, "w") as f:
             f.write(txt)
         print(f"optimized HLO -> {args.dump_hlo} ({len(txt)} bytes)")
+    meta.pop("lower", None)
     rows, totals = profile_op_table(step, iters=args.iters)
     print(format_op_table(rows, totals, top=40))
     if args.out:
