@@ -458,8 +458,9 @@ def bilinear_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
         skip = skips[down_sample - 1 - i]
         h = jnp.concatenate([h, skip], axis=-1)
         p = params[f"up_{i}"]["conv"]
-        h = tnn.upsample_bilinear(h, 2)
-        h = tnn.conv2d(h, p["w"], p.get("b"), padding=1)
+        # conv ∘ upsample composed into one low-res 4-phase conv (full MXU
+        # lanes at these thin widths; no materialized 2x tensor)
+        h = tnn.upconv2x_bilinear(h, p["w"], p.get("b"))
         if i < down_sample - 1:
             h = tnn.relu(tnn.instance_norm(h))
     # last stage norm rides inside the head conv — see _head_conv_tanh

@@ -451,3 +451,63 @@ def conv2d_reflect_thin(x: jnp.ndarray, w: jnp.ndarray,
     if b is not None:
         out = out + b.astype(out.dtype)
     return out
+
+
+def upconv2x_bilinear(x: jnp.ndarray, w: jnp.ndarray,
+                      b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """``conv2d(upsample_bilinear(x, 2), w, padding=1)`` in ONE low-res conv.
+
+    The half-pixel bilinear 2x upsample is a fixed 2-tap linear map per
+    output phase, so conv3x3 ∘ upsample2x composes into FOUR phase kernels
+    of support 3x3 over the LOW-res grid: one dense conv producing
+    ``4·cout`` channels followed by a depth-to-space unpack. Same MACs as
+    the high-res conv, but 4x the output channels at 1/4 the spatial size
+    (full MXU lanes for thin models) and the (2H,2W,C) upsampled tensor is
+    never materialized — the decoder-stage treatment for the thin CycleGAN
+    families, mirroring the head conv's shift-channel trick.
+
+    Interior is the exact composition; the upsample's edge clamping and the
+    conv's high-res zero pad make the 2-px output borders differ, so they
+    are recomputed exactly from 3-row/3-col slabs of the reference path and
+    pasted over. fp32-exact vs the two-op composition (unit-tested); under
+    bf16 the two paths round differently but equivalently.
+    """
+    n, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    if h < 3 or wd < 3:
+        y = conv2d(upsample_bilinear(x, 2), w, None, padding=1)
+        return y if b is None else y + b.astype(y.dtype)
+    w32 = jnp.asarray(w, jnp.float32)
+    # A[p, t, o+1] = coefficient of x[i+o] in up[2i + p + t - 1]
+    # (up[2j]   = 0.25·x[j-1] + 0.75·x[j];
+    #  up[2j+1] = 0.75·x[j]   + 0.25·x[j+1])
+    rows = []
+    u = ({-1: 0.25, 0: 0.75}, {0: 0.75, 1: 0.25})
+    for p in (0, 1):
+        for t in range(3):
+            s = p + t - 1
+            j_off, pp = s >> 1, s & 1
+            row = [0.0, 0.0, 0.0]
+            for d, coef in u[pp].items():
+                row[j_off + d + 1] += coef
+            rows.append(row)
+    A = jnp.asarray(rows, jnp.float32).reshape(2, 3, 3)
+    # eff[py, px, oy, ox, ci, co] = Σ_ty,tx w[ty,tx]·A[py,ty,oy]·A[px,tx,ox]
+    eff = jnp.einsum("yxio,pya,qxb->pqabio", w32, A, A)
+    wconv = eff.transpose(2, 3, 4, 0, 1, 5).reshape(3, 3, cin, 4 * cout)
+    y4 = conv2d(x, wconv.astype(x.dtype), None, padding=1)
+    y = y4.reshape(n, h, wd, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5) \
+        .reshape(n, 2 * h, 2 * wd, cout)
+
+    def strip(xs):
+        return conv2d(xs, w, None, padding=1)
+
+    # top/bottom: 3 low-res rows reproduce high-res rows 0..2 / -3..-1
+    top = strip(upsample_bilinear(x[:, :3], 2)[:, :3])[:, :2]
+    bot = strip(upsample_bilinear(x[:, h - 3:], 2)[:, -3:])[:, -2:]
+    # left/right: full-height 3-col slabs (exact at the corners too)
+    left = strip(upsample_bilinear(x[:, :, :3], 2)[:, :, :3])[:, :, :2]
+    right = strip(upsample_bilinear(x[:, :, wd - 3:], 2)[:, :, -3:])[:, :, -2:]
+    y = y.at[:, :2].set(top).at[:, -2:].set(bot)
+    y = y.at[:, :, :2].set(left).at[:, :, -2:].set(right)
+    return y if b is None else y + b.astype(y.dtype)

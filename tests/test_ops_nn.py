@@ -139,3 +139,18 @@ def test_conv2d_reflect_thin_matches_general():
     np.testing.assert_allclose(
         np.asarray(tnn.conv2d_reflect_thin(x2, w2, None)),
         np.asarray(tnn.conv2d_reflect(x2, w2, None)), rtol=1e-6)
+
+
+@pytest.mark.fast
+def test_upconv2x_bilinear_matches_composition():
+    """upconv2x_bilinear (4-phase composed conv + depth-to-space + exact
+    border strips) ≡ conv2d(upsample_bilinear(x), w, padding=1) in fp32."""
+    rng = np.random.RandomState(3)
+    for (h, w_, cin, cout) in ((16, 16, 8, 4), (12, 20, 3, 5), (8, 8, 2, 2)):
+        x = jnp.asarray(rng.randn(2, h, w_, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, cin, cout).astype(np.float32) * 0.2)
+        b = jnp.asarray(rng.randn(cout).astype(np.float32))
+        ref = tnn.conv2d(tnn.upsample_bilinear(x, 2), w, b, padding=1)
+        got = tnn.upconv2x_bilinear(x, w, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
