@@ -400,6 +400,16 @@ def _multi_atrous_conv(p: Dict[str, Any], x: jnp.ndarray, stride: int = 1,
     return out
 
 
+def _stage_kernel_fits(h: jnp.ndarray, qstage) -> bool:
+    """True when the fused whole-image int8 stage kernel
+    (``quant_pallas.multi_atrous_stage_int8``) fits VMEM for this stage's
+    post-stride shape; callers keep the bf16 XLA stage otherwise (the
+    256x256 first stage of a 512^2 input exceeds the whole-image budget)."""
+    from cistar_tpu.ops.quant_pallas import atrous_stage_fits
+    _, H, W, C = h.shape
+    return atrous_stage_fits(H // 2, W // 2, C, qstage["wbq"].shape[-1])
+
+
 def _q_parts(qblocks):
     """Back-compat split of a quantized-tree argument: round-4 callers pass
     the bare res-trunk list; round-5 quantizers return a dict that also
@@ -447,10 +457,12 @@ def bilinear_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
     h = tnn.relu(tnn.instance_norm(h))
     skips = []
     for i in range(down_sample):
-        if qenc is not None:
+        if qenc is not None and _stage_kernel_fits(h, qenc[i]):
             h = multi_atrous_stage_int8(h, qenc[i],
                                         expect_kernel=expect_kernel)
         else:
+            # stage too large for the whole-image VMEM kernel (e.g. the
+            # 256x256 first stage at 512^2): keep the bf16 XLA stage
             h = _multi_atrous_conv(params[f"down_{i}"], h, stride=2)
         skips.append(h)
     h = atrous_resblock_chain_int8(h, qres, expect_kernel=expect_kernel)
@@ -502,10 +514,11 @@ def multiscale_generator_int8_trunk_apply(params: Dict[str, Any], qblocks,
     h = tnn.relu(tnn.instance_norm(h))
     skips = []
     for i in range(down_sample):
-        if qenc is not None:
+        if qenc is not None and _stage_kernel_fits(h, qenc[i]):
             h = multi_atrous_stage_int8(h, qenc[i],
                                         expect_kernel=expect_kernel)
         else:
+            # oversized stage: bf16 XLA (see bilinear apply above)
             h = _multi_atrous_conv(params[f"down_{i}"], h, stride=2)
         skips.append(h)
     h = resblock_chain_int8_bf16io(h, qres, expect_kernel=expect_kernel)

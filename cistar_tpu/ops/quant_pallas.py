@@ -29,6 +29,7 @@ measured end-to-end at the LPIPS-style fidelity recorded in STATUS.md.
 from __future__ import annotations
 
 import functools
+import math
 import warnings
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -1101,12 +1102,20 @@ def quantize_multi_atrous_stage(stage: Dict[str, Any],
 
 def atrous_stage_fits(h: int, w: int, cin: int, cout: int,
                       max_r2: int = 4) -> bool:
-    """VMEM model: fp32 input + int8 copy + one padded branch + int32 acc +
-    fp32 branch + running sum + the four weight blocks."""
-    pad_elems = (h + 2 * max_r2) * (w + 2 * max_r2) * cin
-    elems = h * w * (cin * 6 + cout * 8) + pad_elems \
-        + 4 * 9 * cin * cout + 8 * cout
-    return elems <= 13 * 1024 * 1024 and h > 2 * max_r2 and w > 2 * max_r2
+    """Chip-calibrated scoped-VMEM model for the whole-image stage kernel.
+
+    Mosaic stack-allocates the kernel's (hw, C) temporaries with the lane
+    axis padded to 128, so the footprint is channel-independent below 128
+    channels: fp32 input copy (1 unit of hw*128*4 bytes) + int32 acc + fp32
+    branch + fp32 running sum + bf16 out (~3.5 units) ≈ 4.5 units. Probed
+    on the real v5e (2026-08-19): 64x64 compiles (9.5M predicted), 96x96
+    OOMs at 21.33M reported, 128x128 at 37.96M — both exactly 2317*hw,
+    identical across (cin=16,cout=32) and (cin=32,cout=64). The scoped
+    limit is 16M; keep 1M headroom."""
+    units = math.ceil(cin / 128) + 3.5 * math.ceil(cout / 128)
+    scoped_bytes = 4 * h * w * 128 * (units + 0.03)  # +3% observed slack
+    return scoped_bytes <= 15 * 1024 * 1024 \
+        and h > 2 * max_r2 and w > 2 * max_r2
 
 
 def _multi_atrous_stage_int8_kernel(x_ref, wb_ref, sb_ref, out_ref, *,

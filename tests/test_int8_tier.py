@@ -199,3 +199,24 @@ def test_cyclegan_int8_remaining_families_golden(gen_type, dense):
     for got, ref in ((fb_q, fb), (fa_q, fa), (rb_q, rb)):
         assert got.shape == ref.shape
         assert _max_err(got, ref) < 0.3, (gen_type, dense, _max_err(got, ref))
+
+
+def test_stage_kernel_fits_gate():
+    """The fused encoder-stage kernel must be skipped (bf16 XLA fallback)
+    exactly where the chip-calibrated scoped-VMEM model says it cannot fit.
+    Probed on the real v5e 2026-08-19: post-stride 64x64 compiles, 96x96
+    and 128x128 OOM (scoped 21.3M/38.0M vs the 16M limit) regardless of
+    channel count — guards the regression where the whole families bench
+    failed to compile at 512^2 (benchmarks/results_r5_families.json)."""
+    from cistar_tpu.models.fast_infer import _stage_kernel_fits
+
+    def stage(h, w, c, cout):
+        x = jnp.zeros((1, h, w, c))
+        return _stage_kernel_fits(x, {"wbq": jnp.zeros((4, 9, c, cout),
+                                                       jnp.int8)})
+
+    assert not stage(512, 512, 16, 32)   # 512^2 stage 1 (xs 256^2): OOM
+    assert not stage(256, 256, 32, 64)   # 512^2 stage 2 (xs 128^2): OOM
+    assert stage(128, 128, 64, 128)      # 512^2 stage 3 (xs 64^2): fits
+    assert not stage(256, 256, 16, 32)   # 256^2 stage 1 (xs 128^2): OOM
+    assert stage(128, 128, 32, 64)       # 256^2 stage 2 (xs 64^2): fits

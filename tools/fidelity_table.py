@@ -183,7 +183,8 @@ def row_spatial256():
     from jax.sharding import Mesh
 
     from cistar_tpu.models.pix2pixhd import GlobalGenerator
-    from cistar_tpu.parallel.spatial_models import spatial_global_forward
+    from cistar_tpu.parallel.spatial_models import (
+        global_generator_sharded_apply)
 
     model = GlobalGenerator(output_nc=1, ngf=32, n_downsampling=2,
                             n_blocks=3)
@@ -191,8 +192,8 @@ def row_spatial256():
     params = model.init(jax.random.PRNGKey(0), x)["params"]
     ref = model.apply({"params": params}, x)
     mesh = Mesh(np.asarray(jax.devices()), ("spatial",))
-    out = spatial_global_forward(mesh, params, x, n_downsampling=2,
-                                 n_blocks=3)
+    out = global_generator_sharded_apply(params, x, mesh, n_downsampling=2,
+                                         n_blocks=3)
     return {"spatial_8dev": _metric(ref, out)}
 
 
@@ -211,7 +212,14 @@ def main():
     ap.add_argument("--rows", default="cyclegan256,p2phd_global512,"
                     "unet_msrb512,local1024,gatys512")
     ap.add_argument("--out", default="benchmarks/fidelity_r5.json")
+    ap.add_argument("--platform", default="", help="force a jax platform "
+                    "(the axon sitecustomize overrides JAX_PLATFORMS, so "
+                    "the spatial256 row needs --platform cpu)")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     try:
         with open(args.out) as f:
