@@ -235,8 +235,14 @@ def build_families(args):
             r = tnn.relu(aff(tnn.conv2d_reflect(h, pblk["conv1"]["w"]),
                              "norm1"))
             return aff(tnn.conv2d_reflect(r, pblk["conv2"]["w"]), "norm2") + h
+        # budget matches the trunk chains (0.35), not the plain-IN rows'
+        # 0.25: folding gamma*rsqrt(var) into the weights widens the
+        # per-channel weight ranges, so the per-tensor int8 grid is coarser.
+        # Measured on chip 2026-08-19: maxabs_vs_fp32 0.2695 with the kernel
+        # BIT-EXACT vs emulation (0.0) — i.e. pure quantization error, not a
+        # Mosaic regression (which is what this row guards against).
         return (jax.jit(lambda v: run(v, False)),
-                jax.jit(lambda v: run(v, True)), jax.jit(ref), x, b, 0.25)
+                jax.jit(lambda v: run(v, True)), jax.jit(ref), x, b, 0.35)
 
     @fam("head_shift")
     def _head_shift():
@@ -320,6 +326,16 @@ def main():
         print(json.dumps(row), flush=True)
         rows.append(row)
 
+    if only:
+        # --only reruns a subset: merge into the existing artifact so the
+        # matrix stays complete (order preserved from build_families)
+        try:
+            with open(args.out) as f:
+                old = {r["family"]: r for r in json.load(f)["rows"]}
+        except (OSError, ValueError, KeyError):
+            old = {}
+        old.update({r["family"]: r for r in rows})
+        rows = [old[n] for n in fams if n in old]
     out = {"device": str(dev), "batch": args.batch, "size": args.size,
            "rows": rows, "all_pass": all(r.get("pass") for r in rows)}
     with open(args.out, "w") as f:

@@ -113,7 +113,7 @@ def main():
     print(format_op_table(rows, totals, top=40))
     if args.out:
         with open(args.out, "w") as f:
-            json.dump({"rows": rows[:80], "totals": totals,
+            json.dump({"rows": rows, "totals": totals,
                        "config": {**vars(args), **meta}}, f, indent=1)
         print(f"wrote {args.out}")
 
