@@ -77,7 +77,8 @@ class GatysEngine:
 
             def loss_fn(img):
                 outs = vgg_lib.extract_features(
-                    vgg_params, img, loss_layers, compute_dtype=cdt)
+                    vgg_params, img, loss_layers, compute_dtype=cdt,
+                    frozen=True)
                 total = jnp.float32(0)
                 for a, out in enumerate(outs):
                     if a < n_style:
@@ -226,7 +227,7 @@ class GatysEngine:
 
         def loss_fn(img):
             outs = vgg_lib.extract_features(self.vgg_params, img, layers,
-                                            compute_dtype=cdt)
+                                            compute_dtype=cdt, frozen=True)
             total = jnp.float32(0)
             for w, o, t in zip(weights, outs, targets):
                 total = total + w * term(o, t)
@@ -252,7 +253,8 @@ class GatysEngine:
 
         def obj(img):
             outs = vgg_lib.extract_features(
-                self.vgg_params, img, layers, compute_dtype=self.compute_dtype)
+                self.vgg_params, img, layers, compute_dtype=self.compute_dtype,
+                frozen=True)
             return -sum(w * jnp.sum(o.astype(jnp.float32))
                         for w, o in zip(weights, outs))
 

@@ -72,6 +72,7 @@ def extract_features(
     out_keys: Sequence[str],
     forward_seq: Sequence[str] = VGG19_FORWARD_SEQ,
     compute_dtype=None,
+    frozen: bool = False,
 ) -> List[jnp.ndarray]:
     """Run the VGG conv stack, returning the requested named activations.
 
@@ -79,6 +80,11 @@ def extract_features(
     forward sequence, ReLU after every conv, record ``convX_Y``/``reluX_Y``/
     ``pool_N`` activations, stop as soon as every requested key is produced
     (the early stop is a TPU addition — it prunes dead layers at trace time).
+
+    ``frozen=True`` routes convs through :func:`cistar_tpu.ops.nn.conv2d_frozen`
+    (custom VJP; image gradient as a plain forward conv) — use whenever the
+    extractor is differentiated through but not trained, which is every
+    reference use of VGG (Gatys, VGGLoss, contentLoss).
     """
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -91,7 +97,10 @@ def extract_features(
             acts[name] = x
         else:
             p = params[name]
-            x = tnn.conv2d(x, p["w"], p["b"], stride=1, padding=1)
+            if frozen:
+                x = tnn.conv2d_frozen(x, p["w"], p["b"], padding=1)
+            else:
+                x = tnn.conv2d(x, p["w"], p["b"], stride=1, padding=1)
             acts[name] = x
             x = tnn.relu(x)
             acts["relu" + name[len("conv"):]] = x

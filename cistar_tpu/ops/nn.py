@@ -73,6 +73,52 @@ def conv2d(
     return out
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv2d_frozen_core(x: jnp.ndarray, w: jnp.ndarray, padding: int) -> jnp.ndarray:
+    return conv2d(x, w, None, stride=1, padding=padding)
+
+
+def _conv2d_frozen_fwd(x, w, padding):
+    return _conv2d_frozen_core(x, w, padding), w
+
+
+def _conv2d_frozen_bwd(padding, w, g):
+    # Backward-data of a stride-1 conv IS a stride-1 conv: flip the kernel
+    # spatially and swap in/out channels (HWIO -> HW(O)(I)), pad k-1-p. Stating
+    # it explicitly keeps XLA on the same NHWC/HWIO layout as every forward
+    # conv; the autodiff-generated transposed conv at 1024^2 picked layouts
+    # that cost ~11 ms/iter of bf16 {0,3,2,1} copies
+    # (benchmarks/profile_gatys1024.json, VERDICT r4 #3).
+    k = w.shape[0]
+    wt = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2)
+    dx = conv2d(g, wt, None, stride=1, padding=k - 1 - padding)
+    return (dx, jnp.zeros_like(w))  # zero w-cotangent: frozen weights, DCE'd
+
+
+_conv2d_frozen_core.defvjp(_conv2d_frozen_fwd, _conv2d_frozen_bwd)
+
+
+def conv2d_frozen(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    padding: int = 0,
+) -> jnp.ndarray:
+    """Stride-1 ``conv2d`` for FROZEN weights (feature extractors).
+
+    Forward is identical to :func:`conv2d`; the custom VJP expresses the
+    image gradient as a plain forward conv with the flipped kernel instead of
+    XLA's auto-derived transposed conv, which eliminates the backward layout
+    copies in gradient-heavy programs (Gatys L-BFGS, perceptual losses).
+    Weights receive a zero cotangent — only use where they are not trained
+    (the reference freezes VGG the same way, ``IST/main.py:30-38``).
+    """
+    out = _conv2d_frozen_core(x, w, int(padding))
+    if b is not None:
+        out = out + lax.stop_gradient(b).astype(out.dtype)
+    return out
+
+
 def conv_transpose2d(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -238,14 +284,30 @@ def _max_pool_2x2_fwd(x, hw):
 def _max_pool_2x2_bwd(hw, res, g):
     x, out = res
     n, h, w, c = x.shape
-    h2, w2 = h // 2, w // 2
-    # windows as an explicit dim of 4, in torch's row-major window order
-    xw = x.reshape(n, h2, 2, w2, 2, c).transpose(0, 1, 3, 2, 4, 5).reshape(n, h2, w2, 4, c)
-    is_max = (xw == out[:, :, :, None, :])
-    first = jnp.cumsum(is_max.astype(jnp.int32), axis=3) == 1
-    mask = (is_max & first).astype(g.dtype)
-    gw = mask * g[:, :, :, None, :]
-    gx = gw.reshape(n, h2, w2, 2, 2, c).transpose(0, 1, 3, 2, 4, 5).reshape(n, h, w, c)
+    # Fully elementwise NHWC formulation: no 6-D window transposes (those
+    # materialized multi-hundred-MB layout copies at VGG scales — the round-5
+    # Gatys 1024² profile showed them as the top copy ops). ``out``/``g`` are
+    # upsampled as broadcasts that fuse into the mask pass; torch's
+    # first-max-in-row-major-window tie-break is reproduced by masking out
+    # positions whose earlier-in-window neighbors (via static rolls — safe:
+    # wrapped rows/cols land only on parities that never consume them) also
+    # hit the max.
+    up = lambda t: jnp.broadcast_to(
+        t[:, :, None, :, None, :], (n, h // 2, 2, w // 2, 2, c)
+    ).reshape(n, h, w, c)
+    m = x == up(out)
+    ml = jnp.roll(m, 1, axis=2)                        # m(y, x-1)
+    mu = jnp.roll(m, 1, axis=1)                        # m(y-1, x)
+    mul_ = jnp.roll(ml, 1, axis=1)                     # m(y-1, x-1)
+    mur = jnp.roll(jnp.roll(m, -1, axis=2), 1, axis=1)  # m(y-1, x+1)
+    odd_y = (jnp.arange(h) % 2 == 1)[None, :, None, None]
+    odd_x = (jnp.arange(w) % 2 == 1)[None, None, :, None]
+    prior = jnp.where(
+        odd_y,
+        jnp.where(odd_x, mul_ | mu | ml, mu | mur),
+        jnp.where(odd_x, ml, False),
+    )
+    gx = jnp.where(m & ~prior, up(g), jnp.zeros((), g.dtype))
     return (gx,)
 
 
